@@ -1,0 +1,156 @@
+"""Typed YAML config system.
+
+Schema-compatible with the reference's ``config_files/*.yaml`` (see
+``config_files/pixel_diffusion_model_cifar10.yaml:1-33``) and with its ``Config``
+attribute-bag (``src/Config.py:4-21``), but parsed into typed dataclasses with
+defaults, validation, and no hidden side effects beyond run-directory creation.
+
+Differences from the reference (documented in PARITY.md):
+
+* run directories live under a configurable ``workdir`` (default ``runs/``) instead of
+  polluting the CWD with ``{type}/{project_name}`` (src/Config.py:13-21);
+* ``device:`` keys are ignored — device placement is the mesh's job
+  (ldm_tpu.parallel.mesh), not the config's;
+* the seed is part of the config (default 42, matching ``set_seed`` at
+  src/utils.py:144-151) and feeds ``jax.random.key`` rather than global RNG state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Dict, List, Optional
+
+import yaml
+
+
+@dataclasses.dataclass
+class DataConfig:
+    """Reference: the ``data:`` block (config_files/*.yaml:28-32) +
+    AbstractDataset/data_utils semantics (src/AbstractDataset.py:28-55,
+    src/data_utils.py:26-56)."""
+
+    dataset: str = "MNIST"
+    image_channels: int = 1
+    image_size: int = 32
+    val_split: float = 0.1
+    data_path: str = "data"
+    num_classes: int = 10
+    # `debugging` in the reference truncates datasets to 20 samples
+    # (src/AbstractDataset.py:53-55); kept at the top level for YAML parity but also
+    # mirrored here for the data layer.
+    debugging: bool = False
+
+
+@dataclasses.dataclass
+class DiffusionConfig:
+    """Reference: the ``diffusion:`` block (config_files/*.yaml:6-13) + the schedule
+    constants hardcoded in src/DDPM.py:31-43 and src/LatentDiffusionModel.py:41-47."""
+
+    type: str = "pixel"
+    target: str = "ldm_tpu.diffusion.ddpm.GaussianDiffusion"
+    cfg_scale: float = 3.0
+    n_steps: int = 400
+    n_samples: int = 100
+    schedule: str = "linear"  # "linear" (DDPM) or "sqrt_linear" (LDM variant)
+    beta_start: float = 1e-4
+    beta_end: float = 0.02
+    # Probability of dropping class labels during training for CFG
+    # (reference: 0.1, src/DiffusionModelTrainer.py:44-45).
+    label_drop_prob: float = 0.1
+    # The reference drops labels for the WHOLE batch at once (np.random per batch,
+    # src/DiffusionModelTrainer.py:44). "sample" drops per-sample (standard CFG
+    # practice, Ho & Salimans 2022); default keeps reference behavior.
+    label_drop_mode: str = "batch"
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    """Reference: the ``model:`` block (config_files/*.yaml:20-27)."""
+
+    target: str = "ldm_tpu.models.unet.UNet"
+    params: Dict[str, Any] = dataclasses.field(default_factory=dict)
+
+
+@dataclasses.dataclass
+class Config:
+    """Top-level experiment config (reference src/Config.py + YAML schema)."""
+
+    project_name: str = "experiment"
+    entity: str = ""
+    type: str = "pixel"
+    debugging: bool = False
+    batch_size: int = 64
+    epochs: int = 100
+    lr: float = 5e-4
+    # torch.cuda.amp in the reference (src/Trainer.py:43); here it selects bf16
+    # compute (fp32 params) — no loss scaling is needed on TPU.
+    use_amp: bool = True
+    loss_fn: str = "mse"
+    early_stopping_patience: int = 10
+    seed: int = 42
+    workdir: str = "runs"
+    ema_decay: float = 0.9999  # EMA is an addition over the reference (BASELINE.md)
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    diffusion: DiffusionConfig = dataclasses.field(default_factory=DiffusionConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+
+    # ------------------------------------------------------------------ paths
+    @property
+    def dirpath(self) -> str:
+        return os.path.join(self.workdir, self.type, self.project_name)
+
+    @property
+    def results(self) -> str:
+        return os.path.join(self.dirpath, "results")
+
+    @property
+    def checkpoints(self) -> str:
+        return os.path.join(self.dirpath, "checkpoints")
+
+    def create_dirs(self) -> None:
+        """Create the run directory tree (reference src/Config.py:13-21)."""
+        for d in (self.dirpath, self.results, self.checkpoints):
+            os.makedirs(d, exist_ok=True)
+
+    # --------------------------------------------------------------- dict API
+    def __getitem__(self, key: str) -> Any:
+        """Reference code indexes its config like a dict (src/Trainer.py:43-71)."""
+        return getattr(self, key)
+
+
+def _build_dataclass(cls, raw: Dict[str, Any]):
+    """Build a dataclass from a raw dict, keeping only known fields."""
+    names = {f.name for f in dataclasses.fields(cls)}
+    return cls(**{k: v for k, v in raw.items() if k in names})
+
+
+def config_from_dict(raw: Dict[str, Any]) -> Config:
+    """Parse a raw YAML mapping (reference schema) into a typed Config."""
+    raw = dict(raw)
+
+    data_raw = dict(raw.pop("data", {}) or {})
+    data_raw.setdefault("debugging", raw.get("debugging", False))
+    data = _build_dataclass(DataConfig, data_raw)
+
+    diff_raw = dict(raw.pop("diffusion", {}) or {})
+    # Reference nests n_steps/n_samples/device under diffusion.params
+    # (config_files/*.yaml:10-13); flatten them.
+    diff_params = dict(diff_raw.pop("params", {}) or {})
+    diff_params.pop("device", None)
+    diff_raw.update(diff_params)
+    diffusion = _build_dataclass(DiffusionConfig, diff_raw)
+
+    model_raw = dict(raw.pop("model", {}) or {})
+    model = _build_dataclass(ModelConfig, model_raw)
+
+    names = {f.name for f in dataclasses.fields(Config)}
+    known = {k: v for k, v in raw.items() if k in names}
+    return Config(model=model, diffusion=diffusion, data=data, **known)
+
+
+def load_config(path: str) -> Config:
+    """Load a YAML config file (ours, or a reference config_files/*.yaml verbatim)."""
+    with open(path) as f:
+        raw = yaml.safe_load(f)
+    return config_from_dict(raw)

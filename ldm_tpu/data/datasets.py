@@ -1,0 +1,185 @@
+"""Dataset loading: MNIST / CIFAR-10 from raw files + a synthetic fallback.
+
+The reference wraps torchvision datasets with ``download=True``
+(src/AbstractDataset.py:28-55).  This environment is zero-egress, so here the
+readers parse the standard on-disk formats directly (MNIST IDX ubyte files,
+CIFAR-10 python pickle batches) from ``data_path``, with a documented layout; when
+the files are absent, a deterministic class-conditional SYNTHETIC dataset stands in
+(the moral equivalent of the reference's ``debugging`` truncation flag,
+src/AbstractDataset.py:53-55 — it keeps every pipeline runnable end to end).
+
+Images are returned as uint8 NHWC in [0, 255]; scaling/resizing is the loader's job
+(ldm_tpu.data.transforms).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import gzip
+import os
+import pickle
+import struct
+from typing import List, Optional
+
+import numpy as np
+
+from ldm_tpu.data.transforms import resize_images
+
+
+@dataclasses.dataclass
+class Dataset:
+    """In-memory dataset: images uint8 NHWC, labels int32, class id list."""
+
+    images: np.ndarray
+    labels: np.ndarray
+    classes: List[int]
+    name: str = ""
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+    def subset(self, indices: np.ndarray) -> "Dataset":
+        return Dataset(
+            self.images[indices], self.labels[indices], self.classes, self.name
+        )
+
+
+# --------------------------------------------------------------------- MNIST
+def _open_maybe_gz(path: str):
+    return gzip.open(path, "rb") if path.endswith(".gz") else open(path, "rb")
+
+
+def _find_idx(data_path: str, stem: str) -> Optional[str]:
+    for sub in ("MNIST/raw", "mnist", "."):
+        for ext in ("", ".gz"):
+            p = os.path.join(data_path, sub, stem + ext)
+            if os.path.exists(p):
+                return p
+    return None
+
+
+def load_mnist(data_path: str, train: bool) -> Optional[Dataset]:
+    """Read the classic IDX ubyte files (as torchvision stores them under
+    data/MNIST/raw)."""
+    prefix = "train" if train else "t10k"
+    img_p = _find_idx(data_path, f"{prefix}-images-idx3-ubyte")
+    lab_p = _find_idx(data_path, f"{prefix}-labels-idx1-ubyte")
+    if img_p is None or lab_p is None:
+        return None
+    with _open_maybe_gz(img_p) as f:
+        magic, n, rows, cols = struct.unpack(">IIII", f.read(16))
+        assert magic == 2051, f"bad MNIST image magic {magic}"
+        images = np.frombuffer(f.read(), np.uint8).reshape(n, rows, cols, 1)
+    with _open_maybe_gz(lab_p) as f:
+        magic, n = struct.unpack(">II", f.read(8))
+        assert magic == 2049, f"bad MNIST label magic {magic}"
+        labels = np.frombuffer(f.read(), np.uint8).astype(np.int32)
+    return Dataset(images, labels, list(range(10)), "MNIST")
+
+
+# -------------------------------------------------------------------- CIFAR10
+def load_cifar10(data_path: str, train: bool) -> Optional[Dataset]:
+    """Read cifar-10-batches-py pickles (torchvision's on-disk layout)."""
+    root = None
+    for sub in ("cifar-10-batches-py", "CIFAR10/cifar-10-batches-py", "."):
+        p = os.path.join(data_path, sub)
+        if os.path.exists(os.path.join(p, "data_batch_1" if train else "test_batch")):
+            root = p
+            break
+    if root is None:
+        return None
+    files = (
+        sorted(glob.glob(os.path.join(root, "data_batch_*")))
+        if train
+        else [os.path.join(root, "test_batch")]
+    )
+    imgs, labs = [], []
+    for fp in files:
+        with open(fp, "rb") as f:
+            d = pickle.load(f, encoding="bytes")
+        x = d[b"data"].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)  # → NHWC
+        imgs.append(x)
+        labs.append(np.asarray(d[b"labels"], np.int32))
+    return Dataset(
+        np.concatenate(imgs), np.concatenate(labs), list(range(10)), "CIFAR10"
+    )
+
+
+# ------------------------------------------------------------------ synthetic
+def synthetic_dataset(
+    n: int,
+    image_size: int = 32,
+    channels: int = 1,
+    num_classes: int = 10,
+    seed: int = 0,
+    train: bool = True,
+) -> Dataset:
+    """Deterministic class-conditional images: each class is a Gaussian blob at a
+    class-specific position with a class-specific spatial frequency overlay, plus
+    noise.  Learnable by both the UNet and the classifier, so every end-to-end
+    pipeline and test can run without real data.
+    """
+    rng = np.random.default_rng(seed + (0 if train else 10_000))
+    labels = rng.integers(0, num_classes, size=n).astype(np.int32)
+    yy, xx = np.mgrid[0:image_size, 0:image_size].astype(np.float32) / image_size
+    images = np.empty((n, image_size, image_size, channels), np.float32)
+    for c in range(num_classes):
+        idx = np.where(labels == c)[0]
+        if idx.size == 0:
+            continue
+        ang = 2 * np.pi * c / num_classes
+        cx, cy = 0.5 + 0.3 * np.cos(ang), 0.5 + 0.3 * np.sin(ang)
+        blob = np.exp(-(((xx - cx) ** 2 + (yy - cy) ** 2) / 0.02))
+        wave = 0.5 + 0.5 * np.sin((c + 2) * 2 * np.pi * xx)
+        base = (0.75 * blob + 0.25 * wave)[None, :, :, None]
+        images[idx] = base
+    images = images + rng.normal(0, 0.08, images.shape).astype(np.float32)
+    images = np.clip(images, 0, 1) * 255.0
+    return Dataset(
+        images.astype(np.uint8), labels, list(range(num_classes)), "SYNTHETIC"
+    )
+
+
+# ------------------------------------------------------------------- factory
+def get_dataset(
+    name: str,
+    data_path: str = "data",
+    image_size: int = 32,
+    train: bool = True,
+    debugging: bool = False,
+    allow_synthetic_fallback: bool = True,
+) -> Dataset:
+    """Load a dataset by name (reference ``AbstractDataset``,
+    src/AbstractDataset.py:28-55), resized to ``image_size``; ``debugging``
+    truncates to 20 samples exactly like the reference (:53-55)."""
+    name_u = name.upper()
+    if name_u == "MNIST":
+        ds = load_mnist(data_path, train)
+        channels = 1
+    elif name_u == "CIFAR10":
+        ds = load_cifar10(data_path, train)
+        channels = 3
+    elif name_u == "SYNTHETIC":
+        ds = None
+        channels = 1
+    else:
+        raise NotImplementedError(
+            f"Dataset {name} is not implemented. Please choose from MNIST or CIFAR10"
+        )
+    if ds is None:
+        if name_u != "SYNTHETIC" and not allow_synthetic_fallback:
+            raise FileNotFoundError(
+                f"{name} raw files not found under {data_path!r} "
+                "(expected MNIST/raw IDX files or cifar-10-batches-py)"
+            )
+        ds = synthetic_dataset(
+            2048 if train else 512, image_size, channels, train=train
+        )
+    if ds.images.shape[1] != image_size:
+        ds = Dataset(
+            resize_images(ds.images, image_size), ds.labels, ds.classes, ds.name
+        )
+    if debugging:
+        ds = ds.subset(np.arange(min(20, len(ds))))
+    return ds

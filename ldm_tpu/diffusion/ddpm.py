@@ -1,0 +1,179 @@
+"""The DDPM process — forward noising, one reverse step, and the full sampler.
+
+Rebuilds the behavior of the reference ``Diffusion`` module (src/DDPM.py:22-149) as
+pure functions over a precomputed :class:`~ldm_tpu.diffusion.schedule.DiffusionSchedule`,
+designed TPU-first:
+
+* the reference's ancestral sampling loop (src/DDPM.py:98-130) is a Python ``for`` over
+  T steps, with TWO full UNet forwards per step (cond + uncond for classifier-free
+  guidance) and a host sync per step (``t[0].item()`` at src/DDPM.py:85, tqdm).  Here
+  the whole loop is ONE jitted ``lax.scan`` over timesteps — zero host round-trips —
+  and CFG is a single batched forward (cond and uncond concatenated on the batch axis,
+  which keeps the MXU fed with one large batch instead of two launches);
+* the ``t == 0`` "no fresh noise" special case (src/DDPM.py:85-96) is a branch-free
+  ``jnp.where`` on the noise scale;
+* per-step noise comes from folding the step index into the sampling PRNG key, so
+  sampling is fully deterministic given (params, key, shape).
+
+Image layout is NHWC (TPU-native), not the reference's NCHW.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ldm_tpu.diffusion.schedule import DiffusionSchedule
+from ldm_tpu.registry import register
+
+Array = jax.Array
+# eps_model apply: (params, x_noisy, t, y) -> eps_theta.  `y` is int32 (B,); the
+# unconditional pass uses the model's null label (UNet.null_label == num_classes),
+# which embeds to exactly zero — matching the reference's `y=None` no-op add
+# (src/UNet.py:375-376).
+EpsModelFn = Callable[..., Array]
+
+
+def gather(a: Array, t: Array) -> Array:
+    """Per-sample schedule value broadcastable over NHWC images.
+
+    Reference ``gather`` (src/DDPM.py:12-19) reshapes to (B,1,1,1) for NCHW; the same
+    shape broadcasts correctly for NHWC.
+    """
+    return a[t].reshape(-1, 1, 1, 1)
+
+
+@register("ldm_tpu.diffusion.ddpm.GaussianDiffusion")
+class GaussianDiffusion:
+    """DDPM process with a linear (or sqrt-linear) beta schedule.
+
+    Mirrors the reference ``Diffusion`` constructor surface (src/DDPM.py:23-43):
+    ``n_steps`` (T) and ``n_samples`` (images to generate after training) — plus the
+    schedule knobs that the reference hardcodes.
+    """
+
+    def __init__(
+        self,
+        n_steps: int,
+        n_samples: int = 1,
+        schedule: str = "linear",
+        beta_start: float = 1e-4,
+        beta_end: float = 0.02,
+    ):
+        self.n_steps = int(n_steps)
+        self.n_samples = int(n_samples)
+        self.schedule = DiffusionSchedule.make(schedule, n_steps, beta_start, beta_end)
+
+    # ------------------------------------------------------------ forward (q)
+    def q_xt_x0(self, x0: Array, t: Array) -> Tuple[Array, Array]:
+        """Mean and variance of q(x_t | x_0) (reference src/DDPM.py:46-55)."""
+        ab = gather(self.schedule.alpha_bars, t)
+        return jnp.sqrt(ab) * x0, 1.0 - ab
+
+    def q_sample(self, x0: Array, t: Array, eps: Array) -> Array:
+        """Sample x_t ~ q(x_t | x_0) (reference src/DDPM.py:58-68)."""
+        mean, var = self.q_xt_x0(x0, t)
+        return mean + jnp.sqrt(var) * eps.astype(mean.dtype)
+
+    def noise_batch(self, key: Array, x0: Array) -> Tuple[Array, Array, Array]:
+        """Draw per-sample t ~ U[0, T) and eps ~ N(0, I); return (eps, x_t, t).
+
+        Reference ``Diffusion.forward`` (src/DDPM.py:133-149) — the training-time
+        noising used by the diffusion trainer's hot loop.
+        """
+        kt, ke = jax.random.split(key)
+        b = x0.shape[0]
+        t = jax.random.randint(kt, (b,), 0, self.n_steps, dtype=jnp.int32)
+        eps = jax.random.normal(ke, x0.shape, x0.dtype)
+        return eps, self.q_sample(x0, t, eps), t
+
+    # ------------------------------------------------------------ reverse (p)
+    def p_sample(
+        self, xt: Array, t: Array, eps_theta: Array, noise: Array
+    ) -> Array:
+        """One ancestral step x_t -> x_{t-1} (reference src/DDPM.py:71-96).
+
+        ``noise`` must be N(0, I) of xt's shape; it is masked out where ``t == 0``
+        (branch-free replacement for the reference's ``t[0].item() == 0`` host sync).
+        """
+        s = self.schedule
+        alpha_bar = gather(s.alpha_bars, t)
+        alpha = gather(s.alphas, t)
+        eps_coef = (1.0 - alpha) * jax.lax.rsqrt(1.0 - alpha_bar)
+        mean = jax.lax.rsqrt(alpha) * (xt - eps_coef * eps_theta.astype(xt.dtype))
+        sigma = jnp.sqrt(gather(s.sigma2, t))
+        sigma = jnp.where(t.reshape(-1, 1, 1, 1) > 0, sigma, 0.0)
+        return mean + sigma * noise
+
+    # --------------------------------------------------------------- sampling
+    def sample(
+        self,
+        eps_model: EpsModelFn,
+        params,
+        key: Array,
+        classes: Array,
+        image_shape: Tuple[int, int, int],
+        cfg_scale: float = 3.0,
+        null_label: Optional[int] = None,
+        x_init: Optional[Array] = None,
+    ) -> Array:
+        """Full ancestral sampling loop as one ``lax.scan`` (the north-star hot path).
+
+        Replaces the reference loop (src/DDPM.py:98-130).  With ``cfg_scale > 0`` the
+        conditional and unconditional passes are fused into ONE forward on a 2B batch
+        and combined with the reference's extrapolating lerp
+        ``uncond + cfg * (cond - uncond)`` (torch.lerp at src/DDPM.py:124).
+
+        Args:
+          eps_model: ``(params, x, t, y) -> eps`` (a jittable flax apply).
+          params: model parameters pytree.
+          key: PRNG key; consumed deterministically (fold_in per step).
+          classes: int32 (B,) class labels to condition on.
+          image_shape: (H, W, C) — NHWC without the batch dim.
+          cfg_scale: classifier-free guidance scale; <= 0 disables the uncond pass.
+          null_label: label id embedding to zero (UNet.null_label); required if
+            ``cfg_scale > 0``.
+          x_init: optional x_T (defaults to N(0, I) drawn from ``key``).
+
+        Returns:
+          x_0 of shape (B, H, W, C), float32.  Wrap in ``jax.jit`` at the call site
+          (trainers/bench do) — everything inside is trace-friendly.
+        """
+        b = classes.shape[0]
+        shape = (b,) + tuple(image_shape)
+        key_init, key_loop = jax.random.split(key)
+        xt = jax.random.normal(key_init, shape, jnp.float32) if x_init is None else x_init
+
+        use_cfg = cfg_scale is not None and cfg_scale > 0
+        if use_cfg:
+            if null_label is None:
+                raise ValueError("null_label is required when cfg_scale > 0")
+            y_in = jnp.concatenate(
+                [classes, jnp.full((b,), null_label, classes.dtype)]
+            )
+        else:
+            y_in = classes
+
+        def step(carry, t):
+            xt = carry
+            t_vec = jnp.full((b,), t, jnp.int32)
+            if use_cfg:
+                x_in = jnp.concatenate([xt, xt], axis=0)
+                t_in = jnp.concatenate([t_vec, t_vec], axis=0)
+                eps_both = eps_model(params, x_in, t_in, y_in)
+                eps_cond, eps_uncond = jnp.split(eps_both, 2, axis=0)
+                eps = eps_uncond + cfg_scale * (
+                    eps_cond.astype(jnp.float32) - eps_uncond.astype(jnp.float32)
+                )
+            else:
+                eps = eps_model(params, xt, t_vec, y_in)
+            noise = jax.random.normal(
+                jax.random.fold_in(key_loop, t), xt.shape, xt.dtype
+            )
+            return self.p_sample(xt, t_vec, eps, noise), None
+
+        ts = jnp.arange(self.n_steps - 1, -1, -1, dtype=jnp.int32)
+        x0, _ = jax.lax.scan(step, xt, ts)
+        return x0

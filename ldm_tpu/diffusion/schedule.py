@@ -1,0 +1,72 @@
+"""Variance schedules for the diffusion process.
+
+Reference semantics:
+
+* pixel DDPM — linear beta in [1e-4, 0.02] over ``n_steps``; ``alpha = 1 - beta``;
+  ``alpha_bar = cumprod(alpha)``; ``sigma^2 = beta`` (src/DDPM.py:31-43).
+* latent LDM — "sqrt_linear": ``linspace(start**0.5, end**0.5, T)**2`` computed in
+  float64 then stored float32 (src/LatentDiffusionModel.py:41-55).
+
+All schedule constants are precomputed once on host in float64 (matching the LDM
+reference's float64 intent and avoiding cumprod drift over T steps), stored float32,
+and live as a frozen pytree so they can be closed over by jitted functions without
+retracing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DiffusionSchedule:
+    """Precomputed schedule constants, each of shape ``(n_steps,)`` float32."""
+
+    betas: jax.Array
+    alphas: jax.Array
+    alpha_bars: jax.Array
+    sigma2: jax.Array  # posterior variance; reference uses sigma^2 = beta
+
+    @property
+    def n_steps(self) -> int:
+        return self.betas.shape[0]
+
+    @classmethod
+    def from_betas(cls, betas_f64: np.ndarray) -> "DiffusionSchedule":
+        alphas = 1.0 - betas_f64
+        alpha_bars = np.cumprod(alphas)
+        return cls(
+            betas=jnp.asarray(betas_f64, jnp.float32),
+            alphas=jnp.asarray(alphas, jnp.float32),
+            alpha_bars=jnp.asarray(alpha_bars, jnp.float32),
+            sigma2=jnp.asarray(betas_f64, jnp.float32),
+        )
+
+    @classmethod
+    def linear(
+        cls, n_steps: int, beta_start: float = 1e-4, beta_end: float = 0.02
+    ) -> "DiffusionSchedule":
+        """Linear beta schedule (reference src/DDPM.py:31)."""
+        return cls.from_betas(np.linspace(beta_start, beta_end, n_steps, dtype=np.float64))
+
+    @classmethod
+    def sqrt_linear(
+        cls, n_steps: int, beta_start: float = 8.5e-4, beta_end: float = 1.2e-2
+    ) -> "DiffusionSchedule":
+        """LDM's schedule: linear in sqrt(beta) (reference
+        src/LatentDiffusionModel.py:41-47, float64 exactly as there)."""
+        root = np.linspace(beta_start**0.5, beta_end**0.5, n_steps, dtype=np.float64)
+        return cls.from_betas(root**2)
+
+    @classmethod
+    def make(cls, name: str, n_steps: int, beta_start: float, beta_end: float):
+        if name == "linear":
+            return cls.linear(n_steps, beta_start, beta_end)
+        if name == "sqrt_linear":
+            return cls.sqrt_linear(n_steps, beta_start, beta_end)
+        raise ValueError(f"unknown schedule {name!r}")

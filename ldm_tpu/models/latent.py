@@ -1,0 +1,91 @@
+"""Latent diffusion wiring: DDPM over frozen-autoencoder latents.
+
+Rebuild of the reference ``LatentDiffusionModel`` (src/LatentDiffusionModel.py:23-81):
+owns an eps-model (UNet), a (frozen) autoencoder, a latent scaling factor, and a
+sqrt-linear beta schedule.  The reference's version is partially wired and broken
+(``autoencoder_decode`` references a nonexistent ``self.first_stage_model``,
+src/LatentDiffusionModel.py:72; no trainer drives it) — this one works end to end and
+is driven by ``ldm_tpu.training.diffusion_trainer`` with ``space="latent"``.
+
+Functional design: this is NOT a flax module — it is a thin coordinator holding two
+flax modules and their params plus a :class:`GaussianDiffusion` process, because the
+autoencoder is frozen during diffusion training (its params never enter the
+optimizer), and keeping it out of the trainable pytree is the idiomatic JAX way to
+freeze it.  Latents stay HBM-resident end to end: encode → q_sample → UNet → loss all
+happen inside one jitted step.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ldm_tpu.diffusion.ddpm import GaussianDiffusion
+from ldm_tpu.registry import register
+
+Array = jax.Array
+
+
+@register("ldm_tpu.models.latent.LatentDiffusionModel")
+class LatentDiffusionModel:
+    """eps-model over scaled VAE latents (reference src/LatentDiffusionModel.py)."""
+
+    def __init__(
+        self,
+        eps_model,            # ldm_tpu.models.unet.UNet (flax module)
+        autoencoder,          # ldm_tpu.models.autoencoder.Autoencoder (flax module)
+        latent_scaling_factor: float,
+        n_steps: int,
+        linear_start: float,
+        linear_end: float,
+    ):
+        self.eps_model = eps_model
+        self.autoencoder = autoencoder
+        self.latent_scaling_factor = float(latent_scaling_factor)
+        self.n_steps = int(n_steps)
+        # sqrt-linear schedule in float64, stored float32
+        # (reference src/LatentDiffusionModel.py:41-55).
+        self.diffusion = GaussianDiffusion(
+            n_steps, schedule="sqrt_linear",
+            beta_start=linear_start, beta_end=linear_end,
+        )
+
+    # ------------------------------------------------------------ autoencoder
+    def autoencoder_encode(self, ae_params, key: Array, image: Array) -> Array:
+        """scale * encode(image).sample() (reference src/LatentDiffusionModel.py:57-65)."""
+        moments = self.autoencoder.apply(ae_params, image, method="encode_moments")
+        z = self.autoencoder.sample_latent(moments, key)
+        return self.latent_scaling_factor * z
+
+    def autoencoder_decode(self, ae_params, z: Array) -> Array:
+        """decode(z / scale) (fixes the reference's broken ``first_stage_model``
+        reference at src/LatentDiffusionModel.py:72)."""
+        return self.autoencoder.apply(
+            ae_params, z / self.latent_scaling_factor, method="decode"
+        )
+
+    # ------------------------------------------------------------- eps model
+    def apply_eps(self, params, x: Array, t: Array, y: Optional[Array]) -> Array:
+        """Predict noise in latent space (reference src/LatentDiffusionModel.py:74-81)."""
+        return self.eps_model.apply(params, x, t, y)
+
+    # --------------------------------------------------------------- sampling
+    def sample_images(
+        self,
+        params,
+        ae_params,
+        key: Array,
+        classes: Array,
+        latent_shape: Tuple[int, int, int],
+        cfg_scale: float = 3.0,
+    ) -> Array:
+        """Sample latents with the lax.scan ancestral loop, then decode to images."""
+        k_lat, _ = jax.random.split(key)
+        z0 = self.diffusion.sample(
+            lambda p, x, t, y: self.eps_model.apply(p, x, t, y),
+            params, k_lat, classes, latent_shape,
+            cfg_scale=cfg_scale, null_label=self.eps_model.num_classes,
+        )
+        return self.autoencoder_decode(ae_params, z0)

@@ -1,0 +1,263 @@
+"""Class- and time-conditional U-Net noise predictor (flax, NHWC).
+
+Same architecture family as the reference (src/UNet.py:293-389): 3x3 stem conv →
+4-level encoder (ResNet block → linear attention → 2x2 max-pool, skips collected
+pre-pool) → bottleneck (ResNet → full attention → ResNet) → decoder (2x2
+transposed conv → concat skip → ResNet block → linear attention) → final ResNet
+block + 1x1 conv.  Time conditioning is a sinusoidal embedding through a 2-layer
+GELU MLP (src/UNet.py:251-273) with d_time = 4*channels (src/UNet.py:321); class
+conditioning is an embedding ADDED to the time embedding (src/UNet.py:329,375-376).
+
+TPU-first deviations (recorded in PARITY.md):
+
+* NHWC layout, not NCHW — convs/norms hit the MXU/VPU in the hardware-native layout;
+* compute dtype is configurable (bf16 under ``use_amp``) with fp32 params; GroupNorm
+  statistics stay fp32 (flax default);
+* the unconditional pass uses a reserved ``null_label`` (== num_classes) whose
+  embedding is exactly zero, so classifier-free guidance can run cond+uncond fused in
+  ONE batched forward (the reference's ``y=None`` skip at src/UNet.py:375-376 forces
+  two separate calls per sampling step);
+* the reference bottleneck drops the time embedding (bug, src/UNet.py:287-290);
+  here the bottleneck ResNet blocks receive it.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ldm_tpu.registry import register
+
+Array = jax.Array
+Dtype = Any
+
+
+class SinusoidalPosEmb(nn.Module):
+    """Sinusoidal timestep embedding (reference src/UNet.py:23-44)."""
+
+    dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t: Array) -> Array:
+        half = self.dim // 2
+        freq = jnp.exp(
+            jnp.arange(half, dtype=jnp.float32) * -(math.log(10000.0) / (half - 1))
+        )
+        ang = t.astype(jnp.float32)[:, None] * freq[None, :]
+        return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1).astype(self.dtype)
+
+
+class TimeEmbedding(nn.Module):
+    """SinPos → Dense → GELU → Dense (reference src/UNet.py:251-273)."""
+
+    n_channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t: Array) -> Array:
+        x = SinusoidalPosEmb(self.n_channels // 4, dtype=self.dtype)(t)
+        x = nn.Dense(self.n_channels, dtype=self.dtype)(x)
+        x = nn.gelu(x)
+        return nn.Dense(self.n_channels, dtype=self.dtype)(x)
+
+
+class Block(nn.Module):
+    """GroupNorm → SiLU → 3x3 conv (reference src/UNet.py:47-58)."""
+
+    dim_out: int
+    groups: int = 8
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, dtype=self.dtype)(x)
+        x = nn.silu(x)
+        return nn.Conv(self.dim_out, (3, 3), padding=1, dtype=self.dtype)(x)
+
+
+class ResNetBlock(nn.Module):
+    """Two Blocks with the time embedding injected in between + 1x1 shortcut
+    (reference src/UNet.py:61-99)."""
+
+    dim_out: int
+    groups: int = 8
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, time_emb: Optional[Array] = None) -> Array:
+        h = Block(self.dim_out, self.groups, dtype=self.dtype)(x)
+        if time_emb is not None:
+            temb = nn.Dense(self.dim_out, dtype=self.dtype)(nn.silu(time_emb))
+            h = h + temb[:, None, None, :]
+        h = Block(self.dim_out, self.groups, dtype=self.dtype)(h)
+        if x.shape[-1] != self.dim_out:
+            x = nn.Conv(self.dim_out, (1, 1), dtype=self.dtype)(x)
+        return h + x
+
+
+def _split_heads(x: Array, heads: int) -> Array:
+    """(B, H, W, h*d) → (B, h, H*W, d)."""
+    b, hh, ww, c = x.shape
+    x = x.reshape(b, hh * ww, heads, c // heads)
+    return x.transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: Array, hh: int, ww: int) -> Array:
+    """(B, h, N, d) → (B, H, W, h*d), h-major channel order like the reference's
+    ``rearrange(out, "b h (x y) d -> b (h d) x y")`` (src/UNet.py:135)."""
+    b, heads, n, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, hh, ww, heads * d)
+
+
+class Attention(nn.Module):
+    """Full softmax self-attention over the spatial grid, 4 heads x 32
+    (reference src/UNet.py:113-136).  Used only in the bottleneck."""
+
+    heads: int = 4
+    dim_head: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        b, hh, ww, c = x.shape
+        hidden = self.heads * self.dim_head
+        qkv = nn.Dense(hidden * 3, use_bias=False, dtype=self.dtype)(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = _split_heads(q, self.heads) * (self.dim_head**-0.5)
+        k = _split_heads(k, self.heads)
+        v = _split_heads(v, self.heads)
+        sim = jnp.einsum("bhid,bhjd->bhij", q, k).astype(jnp.float32)
+        sim = sim - jax.lax.stop_gradient(sim.max(axis=-1, keepdims=True))
+        attn = jax.nn.softmax(sim, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        out = _merge_heads(out, hh, ww)
+        return nn.Dense(c, dtype=self.dtype)(out)
+
+
+class LinearAttention(nn.Module):
+    """Linear attention via the k·v context trick (reference src/UNet.py:139-164).
+
+    Softmax over the head dim for q and over the sequence for k, then
+    ``context = k^T v`` (d x e) and ``out = context q`` — O(N·d·e) instead of O(N^2).
+    Used at every encoder/decoder level.
+    """
+
+    heads: int = 4
+    dim_head: int = 32
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        b, hh, ww, c = x.shape
+        hidden = self.heads * self.dim_head
+        qkv = nn.Dense(hidden * 3, use_bias=False, dtype=self.dtype)(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = _split_heads(q, self.heads)  # (B, h, N, d)
+        k = _split_heads(k, self.heads)
+        v = _split_heads(v, self.heads)
+        # torch layout is (b, h, d, n): q softmax over d, k softmax over n
+        # (src/UNet.py:156-157) — in (B, h, N, d) that is axis -1 and axis -2.
+        q = jax.nn.softmax(q.astype(jnp.float32), axis=-1).astype(self.dtype)
+        k = jax.nn.softmax(k.astype(jnp.float32), axis=-2).astype(self.dtype)
+        q = q * (self.dim_head**-0.5)
+        context = jnp.einsum("bhnd,bhne->bhde", k, v)
+        out = jnp.einsum("bhde,bhnd->bhne", context, q)
+        out = _merge_heads(out, hh, ww)
+        out = nn.Dense(c, dtype=self.dtype)(out)
+        return nn.GroupNorm(num_groups=1, epsilon=1e-5, dtype=self.dtype)(out)
+
+
+class PreNormResidual(nn.Module):
+    """``x + fn(GroupNorm_1(x))`` — the reference's Residual(PreNorm(fn)) wrapper
+    (src/UNet.py:14-20, 102-110)."""
+
+    fn: nn.Module
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        h = nn.GroupNorm(num_groups=1, epsilon=1e-5, dtype=self.dtype)(x)
+        return x + self.fn(h)
+
+
+@register("ldm_tpu.models.unet.UNet")
+class UNet(nn.Module):
+    """The noise-prediction U-Net (reference src/UNet.py:293-389).
+
+    Constructor surface matches the reference/config schema
+    (config_files/*.yaml:20-27): in_channels, out_channels, channels,
+    channel_multipliers, with_time_emb, num_classes.
+    """
+
+    in_channels: int = 1
+    out_channels: int = 1
+    channels: int = 64
+    channel_multipliers: Sequence[int] = (1, 2, 4, 8)
+    with_time_emb: bool = True
+    num_classes: Optional[int] = None
+    dtype: Dtype = jnp.float32
+
+    @property
+    def null_label(self) -> int:
+        """Label id reserved for the unconditional pass (embeds to exactly zero)."""
+        assert self.num_classes is not None
+        return self.num_classes
+
+    @nn.compact
+    def __call__(
+        self, x: Array, t: Array, y: Optional[Array] = None
+    ) -> Array:
+        chs: List[int] = [self.channels] + [
+            self.channels * m for m in self.channel_multipliers
+        ]
+        d_time = self.channels * 4 if self.with_time_emb else None
+
+        # ----- conditioning ------------------------------------------------
+        t_emb = None
+        if self.with_time_emb:
+            t_emb = TimeEmbedding(d_time, dtype=self.dtype)(t)
+            if self.num_classes is not None and y is not None:
+                table = nn.Embed(self.num_classes, d_time, dtype=self.dtype)
+                is_null = y >= self.num_classes
+                safe_y = jnp.where(is_null, 0, y)
+                lab = table(safe_y) * (1.0 - is_null.astype(self.dtype))[:, None]
+                t_emb = t_emb + lab
+
+        x = x.astype(self.dtype)
+        x = nn.Conv(self.channels, (3, 3), padding=1, dtype=self.dtype)(x)
+
+        # ----- encoder (reference src/UNet.py:167-209) ---------------------
+        skips: List[Array] = []
+        for dim_out in chs[1:]:
+            x = ResNetBlock(dim_out, dtype=self.dtype)(x, t_emb)
+            x = PreNormResidual(
+                LinearAttention(dtype=self.dtype), dtype=self.dtype
+            )(x)
+            skips.append(x)
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+
+        # ----- bottleneck (reference src/UNet.py:276-290; time-emb drop fixed)
+        x = ResNetBlock(chs[-1], dtype=self.dtype)(x, t_emb)
+        x = PreNormResidual(Attention(dtype=self.dtype), dtype=self.dtype)(x)
+        x = ResNetBlock(chs[-1], dtype=self.dtype)(x, t_emb)
+
+        # ----- decoder (reference src/UNet.py:212-248) ----------------------
+        for dim_out in reversed(chs[1:-1] + [chs[0]]):
+            x = nn.ConvTranspose(
+                dim_out, (2, 2), strides=(2, 2), padding="VALID", dtype=self.dtype
+            )(x)
+            x = jnp.concatenate([x, skips.pop()], axis=-1)
+            x = ResNetBlock(dim_out, dtype=self.dtype)(x, t_emb)
+            x = PreNormResidual(
+                LinearAttention(dtype=self.dtype), dtype=self.dtype
+            )(x)
+
+        # ----- head (reference src/UNet.py:345-348) -------------------------
+        x = ResNetBlock(self.channels, dtype=self.dtype)(x)
+        x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype)(x)
+        return x.astype(jnp.float32)

@@ -1,0 +1,208 @@
+"""ResNet classifier trainer.
+
+Rebuild of the reference ``ResNetTrainer`` (src/ResNetTrainer.py): a unified
+``run(mode, loader)`` for train/pretrain/valid/test plus an epoch-loop ``train()``
+with early stopping, reporting loss and micro-F1.
+
+TPU-first changes:
+
+* one jitted train step (donated state) carrying BatchNorm ``batch_stats`` through
+  the TrainState — the torch mutable-module state becomes explicit pytree state;
+* cross-entropy on LOGITS via optax (the reference double-softmaxes: Softmax in the
+  model then F.cross_entropy, src/ResNetClassifier.py:243 + src/Trainer.py:64 —
+  fixed here, PARITY.md);
+* F1 from an on-device confusion-matrix accumulator instead of per-batch sklearn
+  host syncs (src/ResNetTrainer.py:143-148);
+* the reference's loss-return bug (last-batch loss instead of the epoch total,
+  src/ResNetTrainer.py:166-167) and epoch-average bug (divide by ``epoch`` instead
+  of the count, :73-76) are NOT reproduced.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ldm_tpu.config import Config
+from ldm_tpu.ops.metrics import confusion_matrix, f1_from_confusion
+from ldm_tpu.parallel.mesh import data_sharding, replicated, shard_batch
+from ldm_tpu.training import checkpoint as ckpt
+from ldm_tpu.training.early_stopping import EarlyStopping
+from ldm_tpu.training.state import TrainState, make_optimizer
+from ldm_tpu.utils.logging import MetricsLogger
+
+
+class ResNetTrainer:
+    def __init__(
+        self,
+        config: Config,
+        model,  # ldm_tpu.models.resnet.ResNetBase
+        train_loader,
+        val_loader,
+        classes,
+        test_loader=None,
+        mesh=None,
+        logger: Optional[MetricsLogger] = None,
+        name: str = "resnet",
+    ):
+        self.config = config
+        self.model = model
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.test_loader = test_loader
+        self.num_classes = len(classes)
+        self.mesh = mesh
+        self.name = name
+        self.logger = logger or MetricsLogger(config.dirpath, config.project_name)
+        config.create_dirs()
+
+        d = config.data
+        dummy = jnp.zeros((1, d.image_size, d.image_size, d.image_channels))
+        variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
+            jax.random.key(config.seed), dummy
+        )
+        params = {"params": variables["params"]}
+        batch_stats = variables.get("batch_stats", {})
+        self.state = TrainState.create(
+            params, make_optimizer(config.lr), jax.random.key(config.seed + 1),
+            ema_decay=config.ema_decay, batch_stats=batch_stats,
+        )
+        self._train_step = self._build_train_step()
+        self._eval_step = self._build_eval_step()
+        self.early_stopping = EarlyStopping(
+            patience=config.early_stopping_patience, verbose=True,
+            save_fn=self._save_best,
+        )
+
+    # ------------------------------------------------------------------- jit
+    def _jit(self, fn, donate_state: bool = False):
+        kw = {"donate_argnums": (0,)} if donate_state else {}
+        if self.mesh is None:
+            return jax.jit(fn, **kw)
+        rep, dat = replicated(self.mesh), data_sharding(self.mesh)
+        return jax.jit(fn, in_shardings=(rep, dat), **kw)
+
+    def _build_train_step(self):
+        model, nc = self.model, self.num_classes
+
+        def train_step(state: TrainState, batch) -> Tuple[TrainState, dict]:
+            def loss_fn(params):
+                logits, updates = model.apply(
+                    {"params": params["params"], "batch_stats": state.batch_stats},
+                    batch["image"], train=True, mutable=["batch_stats"],
+                )
+                loss = optax.softmax_cross_entropy_with_integer_labels(
+                    logits, batch["label"]
+                ).mean()
+                return loss, (logits, updates["batch_stats"])
+
+            (loss, (logits, new_stats)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            state = state.apply_gradients(grads, batch_stats=new_stats)
+            cm = confusion_matrix(jnp.argmax(logits, -1), batch["label"], nc)
+            return state, {"loss": loss, "cm": cm}
+
+        return self._jit(train_step, donate_state=True)
+
+    def _build_eval_step(self):
+        model, nc = self.model, self.num_classes
+
+        def eval_step(state: TrainState, batch) -> dict:
+            logits = model.apply(
+                {"params": state.params["params"], "batch_stats": state.batch_stats},
+                batch["image"], train=False,
+            )
+            loss = optax.softmax_cross_entropy_with_integer_labels(
+                logits, batch["label"]
+            ).mean()
+            cm = confusion_matrix(jnp.argmax(logits, -1), batch["label"], nc)
+            return {"loss": loss, "cm": cm}
+
+        return self._jit(eval_step)
+
+    # ----------------------------------------------------------- persistence
+    def _save_best(self, state: TrainState) -> None:
+        ckpt.save_params(
+            f"{self.config.checkpoints}/{self.name}.msgpack",
+            {"params": state.params["params"], "batch_stats": state.batch_stats},
+        )
+        ckpt.save_state(f"{self.config.checkpoints}/{self.name}_state.msgpack", state)
+
+    def load_best(self) -> None:
+        """Reload best weights for testing (reference reloads the best checkpoint
+        before run('test'), main.py:262-289)."""
+        template = {
+            "params": self.state.params["params"],
+            "batch_stats": self.state.batch_stats,
+        }
+        loaded = ckpt.load_params(
+            f"{self.config.checkpoints}/{self.name}.msgpack", template
+        )
+        self.state = self.state.replace(
+            params={"params": loaded["params"]}, batch_stats=loaded["batch_stats"]
+        )
+
+    # ------------------------------------------------------------------ run
+    def run(self, mode: str, dataloader=None) -> Dict[str, float]:
+        """One pass over a loader (reference ``run``, src/ResNetTrainer.py:86-169).
+
+        mode: "train" | "pretrain" (alias of train) | "valid" | "test".
+        Returns {"loss", "f1_micro", "f1_macro", "accuracy"} averaged over the pass.
+        """
+        if dataloader is None:
+            dataloader = {
+                "train": self.train_loader, "pretrain": self.train_loader,
+                "valid": self.val_loader, "test": self.test_loader,
+            }[mode]
+        training = mode in ("train", "pretrain")
+        losses, cm_total = [], np.zeros((self.num_classes, self.num_classes), np.int64)
+        for batch in dataloader:
+            batch = shard_batch(self.mesh, batch)
+            if training:
+                self.state, m = self._train_step(self.state, batch)
+            else:
+                m = self._eval_step(self.state, batch)
+            losses.append(m["loss"])
+            cm_total += np.asarray(jax.device_get(m["cm"]), np.int64)
+        stats = {
+            k: float(v)
+            for k, v in f1_from_confusion(jnp.asarray(cm_total)).items()
+            if k != "f1_per_class"
+        }
+        stats["loss"] = float(np.mean(jax.device_get(losses)))
+        return stats
+
+    # ---------------------------------------------------------------- train
+    def train(self) -> dict:
+        """Epoch loop with early stopping (reference src/ResNetTrainer.py:14-84)."""
+        history = {"train": [], "valid": []}
+        for epoch in range(self.config.epochs):
+            tr = self.run("train")
+            va = self.run("valid")
+            history["train"].append(tr)
+            history["valid"].append(va)
+            self.logger.log(
+                {
+                    f"{self.name} train_loss": tr["loss"],
+                    f"{self.name} train_f1": tr["f1_micro"],
+                    f"{self.name} valid_loss": va["loss"],
+                    f"{self.name} valid_f1": va["f1_micro"],
+                    "epoch": epoch,
+                },
+                step=epoch,
+            )
+            self.early_stopping(va["loss"], self.state)
+            if self.early_stopping.early_stop:
+                print("Early stopping")
+                break
+        return history
+
+    def test(self) -> Dict[str, float]:
+        """Best-checkpoint test pass (reference main.py:262-289)."""
+        self.load_best()
+        return self.run("test")

@@ -1,0 +1,80 @@
+"""Data layer tests: synthetic dataset, transforms, loader, split."""
+
+import numpy as np
+
+from ldm_tpu.data.datasets import get_dataset, synthetic_dataset
+from ldm_tpu.data.loader import DataLoader, split_train_val
+from ldm_tpu.data.transforms import (
+    reverse_transform,
+    scale_to_minus_one_one,
+    to_grayscale,
+)
+
+
+def test_synthetic_deterministic_and_class_conditional():
+    a = synthetic_dataset(128, 16, 1, seed=1)
+    b = synthetic_dataset(128, 16, 1, seed=1)
+    np.testing.assert_array_equal(a.images, b.images)
+    np.testing.assert_array_equal(a.labels, b.labels)
+    # class 0 and class 5 images must differ systematically
+    m0 = a.images[a.labels == 0].mean(axis=0)
+    m5 = a.images[a.labels == 5].mean(axis=0)
+    assert np.abs(m0.astype(np.float32) - m5.astype(np.float32)).mean() > 5
+
+
+def test_scale_roundtrip():
+    img = np.arange(0, 256, dtype=np.uint8).reshape(1, 16, 16, 1)
+    scaled = scale_to_minus_one_one(img)
+    assert scaled.min() >= -1 and scaled.max() <= 1
+    back = reverse_transform(scaled)
+    np.testing.assert_allclose(back.astype(int), img.astype(int), atol=1)
+
+
+def test_grayscale_weights():
+    rgb = np.zeros((1, 2, 2, 3), np.uint8)
+    rgb[..., 1] = 255  # pure green
+    g = to_grayscale(rgb)
+    assert g.shape == (1, 2, 2, 1)
+    assert abs(int(g[0, 0, 0, 0]) - int(0.587 * 255)) <= 1
+
+
+def test_loader_shapes_and_drop_last():
+    ds = synthetic_dataset(70, 8, 1, seed=0)
+    dl = DataLoader(ds, batch_size=32)
+    batches = list(dl)
+    assert len(batches) == 2 == len(dl)
+    for b in batches:
+        assert b["image"].shape == (32, 8, 8, 1)
+        assert b["image"].dtype == np.float32
+        assert -1 <= b["image"].min() and b["image"].max() <= 1
+        assert b["label"].dtype == np.int32
+    dl2 = DataLoader(ds, batch_size=32, drop_last=False, shuffle=False)
+    assert len(list(dl2)) == 3
+
+
+def test_loader_shuffles_between_epochs():
+    ds = synthetic_dataset(64, 8, 1, seed=0)
+    dl = DataLoader(ds, batch_size=64, shuffle=True, seed=3)
+    e1 = next(iter(dl))["label"]
+    e2 = next(iter(dl))["label"]
+    assert not np.array_equal(e1, e2)
+
+
+def test_split_train_val_sizes():
+    ds = synthetic_dataset(100, 8, 1)
+    tr, va = split_train_val(ds, 0.1, seed=42)
+    # int((1-0.1)*100) = 90 / 10 (reference src/data_utils.py:16-23)
+    assert len(tr) == 90 and len(va) == 10
+    # disjoint
+    all_idx = np.concatenate([tr.labels, va.labels])
+    assert len(all_idx) == 100
+
+
+def test_get_dataset_debugging_truncates_to_20():
+    ds = get_dataset("SYNTHETIC", image_size=8, debugging=True)
+    assert len(ds) == 20  # reference src/AbstractDataset.py:53-55
+
+
+def test_get_dataset_fallback_resizes():
+    ds = get_dataset("MNIST", data_path="/nonexistent", image_size=32)
+    assert ds.images.shape[1:] == (32, 32, 1)

@@ -1,0 +1,89 @@
+"""Multi-device DP tests on the 8-device virtual CPU mesh (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ldm_tpu.parallel.mesh import (
+    create_mesh,
+    data_sharding,
+    global_batch_multiple,
+    replicated,
+    shard_batch,
+)
+
+
+def test_mesh_has_8_devices():
+    mesh = create_mesh()
+    assert mesh.devices.size == 8
+    assert mesh.shape["data"] == 8 and mesh.shape["model"] == 1
+
+
+def test_shard_batch_places_on_data_axis():
+    mesh = create_mesh()
+    batch = {"image": np.zeros((16, 4, 4, 1), np.float32),
+             "label": np.zeros((16,), np.int32)}
+    sb = shard_batch(mesh, batch)
+    assert sb["image"].sharding.spec == data_sharding(mesh).spec
+    assert global_batch_multiple(mesh) == 8
+
+
+def test_dp_train_step_matches_single_device():
+    """A jitted grad step over the 8-way mesh must give the same numbers as a
+    single-device run — XLA's inserted all-reduce is arithmetic-equivalent."""
+    mesh = create_mesh()
+
+    def loss_fn(w, batch):
+        pred = batch["x"] @ w
+        return jnp.mean((pred - batch["y"]) ** 2)
+
+    def step(w, batch):
+        g = jax.grad(loss_fn)(w, batch)
+        return w - 0.1 * g, loss_fn(w, batch)
+
+    w = jnp.ones((4, 1))
+    rng = np.random.default_rng(0)
+    batch = {"x": rng.normal(size=(16, 4)).astype(np.float32),
+             "y": rng.normal(size=(16, 1)).astype(np.float32)}
+
+    w1, l1 = jax.jit(step)(w, jax.tree.map(jnp.asarray, batch))
+
+    sharded = shard_batch(mesh, batch)
+    w2, l2 = jax.jit(
+        step, in_shardings=(replicated(mesh), data_sharding(mesh))
+    )(jax.device_put(w, replicated(mesh)), sharded)
+
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w2), rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_diffusion_trainer_on_mesh(tmp_path):
+    """Full DiffusionTrainer step over the virtual mesh (compile-heavy: marked slow)."""
+    from ldm_tpu.config import Config, DataConfig, DiffusionConfig, ModelConfig
+    from ldm_tpu.data.datasets import synthetic_dataset
+    from ldm_tpu.data.loader import DataLoader
+    from ldm_tpu.factory import build_diffusion, build_model
+    from ldm_tpu.training.diffusion_trainer import DiffusionTrainer
+
+    mesh = create_mesh()
+    cfg = Config(
+        project_name="mesh", workdir=str(tmp_path), epochs=1, batch_size=16,
+        use_amp=False, seed=0,
+        model=ModelConfig(params=dict(
+            in_channels=1, out_channels=1, channels=8,
+            channel_multipliers=[1], num_classes=10,
+        )),
+        diffusion=DiffusionConfig(n_steps=4),
+        data=DataConfig(dataset="SYNTHETIC", image_size=8, image_channels=1),
+    )
+    ds = synthetic_dataset(32, 8, 1, seed=0)
+    tl = DataLoader(ds, cfg.batch_size, seed=0)
+    vl = DataLoader(ds, cfg.batch_size, seed=1)
+    tr = DiffusionTrainer(
+        cfg, build_model(cfg), build_diffusion(cfg), tl, vl,
+        classes=list(range(10)), mesh=mesh,
+    )
+    hist = tr.train()
+    assert np.isfinite(hist["train_loss"][0])

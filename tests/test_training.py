@@ -1,0 +1,125 @@
+"""Training engine tests: end-to-end tiny run, checkpoint round trip, EMA,
+early stopping semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ldm_tpu.config import Config, DataConfig, DiffusionConfig, ModelConfig
+from ldm_tpu.data.datasets import synthetic_dataset
+from ldm_tpu.data.loader import DataLoader
+from ldm_tpu.factory import build_diffusion, build_model
+from ldm_tpu.training import checkpoint as ckpt
+from ldm_tpu.training.diffusion_trainer import DiffusionTrainer
+from ldm_tpu.training.early_stopping import EarlyStopping
+from ldm_tpu.training.state import TrainState, make_optimizer
+
+
+@pytest.fixture(scope="module")
+def tiny_trainer(tmp_path_factory):
+    cfg = Config(
+        project_name="t", workdir=str(tmp_path_factory.mktemp("runs")),
+        epochs=2, batch_size=16, use_amp=False, seed=0,
+        model=ModelConfig(params=dict(
+            in_channels=1, out_channels=1, channels=8,
+            channel_multipliers=[1, 2], num_classes=10,
+        )),
+        diffusion=DiffusionConfig(n_steps=8, cfg_scale=3),
+        data=DataConfig(dataset="SYNTHETIC", image_size=16, image_channels=1),
+    )
+    ds = synthetic_dataset(96, 16, 1, seed=0)
+    tl = DataLoader(ds.subset(np.arange(64)), cfg.batch_size, seed=0)
+    vl = DataLoader(ds.subset(np.arange(64, 96)), cfg.batch_size, seed=1)
+    tr = DiffusionTrainer(cfg, build_model(cfg), build_diffusion(cfg), tl, vl,
+                          classes=list(range(10)))
+    return tr
+
+
+def test_train_reduces_loss_and_checkpoints(tiny_trainer):
+    tr = tiny_trainer
+    hist = tr.train()
+    assert len(hist["train_loss"]) == 2
+    assert all(np.isfinite(hist["train_loss"]))
+    assert hist["train_loss"][1] < hist["train_loss"][0]
+    assert int(tr.state.step) == 8  # 4 batches x 2 epochs
+    assert ckpt.latest_checkpoint(tr.config.checkpoints) is not None
+
+
+def test_ema_tracks_but_lags(tiny_trainer):
+    tr = tiny_trainer
+    p = jax.tree.leaves(tr.state.params)[0]
+    e = jax.tree.leaves(tr.state.ema_params)[0]
+    assert not np.allclose(np.asarray(p), np.asarray(e))
+
+
+def test_checkpoint_roundtrip(tiny_trainer, tmp_path):
+    tr = tiny_trainer
+    path = ckpt.save_state(str(tmp_path / "s.msgpack"), tr.state)
+    fresh = TrainState.create(
+        jax.tree.map(jnp.zeros_like, tr.state.params),
+        make_optimizer(1e-3), jax.random.key(9),
+    )
+    restored = ckpt.restore_state(path, fresh)
+    assert int(restored.step) == int(tr.state.step)
+    for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(tr.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # restored state continues training without shape errors
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(restored.key)),
+        np.asarray(jax.random.key_data(tr.state.key)),
+    )
+
+
+def test_params_only_roundtrip(tiny_trainer, tmp_path):
+    tr = tiny_trainer
+    p = ckpt.save_params(str(tmp_path / "p.msgpack"), tr.state.params)
+    template = jax.tree.map(jnp.zeros_like, tr.state.params)
+    loaded = ckpt.load_params(p, template)
+    for a, b in zip(jax.tree.leaves(loaded), jax.tree.leaves(tr.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sample_outputs_uint8(tiny_trainer):
+    imgs = tiny_trainer.sample([0, 1], cfg_scale=3.0)
+    assert imgs.shape == (2, 16, 16, 1)
+    assert imgs.dtype == np.uint8
+
+
+def test_deterministic_training(tmp_path):
+    """Same config + data ⇒ bit-identical loss history (explicit PRNG threading)."""
+    def run(workdir):
+        cfg = Config(
+            project_name="d", workdir=workdir, epochs=1, batch_size=16,
+            use_amp=False, seed=7,
+            model=ModelConfig(params=dict(
+                in_channels=1, out_channels=1, channels=8,
+                channel_multipliers=[1], num_classes=10,
+            )),
+            diffusion=DiffusionConfig(n_steps=8),
+            data=DataConfig(dataset="SYNTHETIC", image_size=8, image_channels=1),
+        )
+        ds = synthetic_dataset(32, 8, 1, seed=0)
+        tl = DataLoader(ds, cfg.batch_size, seed=0)
+        vl = DataLoader(ds, cfg.batch_size, seed=1)
+        tr = DiffusionTrainer(cfg, build_model(cfg), build_diffusion(cfg), tl, vl,
+                              classes=list(range(10)))
+        return tr.train()
+
+    h1 = run(str(tmp_path / "a"))
+    h2 = run(str(tmp_path / "b"))
+    assert h1 == h2
+
+
+def test_early_stopping_semantics():
+    saved = []
+    es = EarlyStopping(patience=2, save_fn=lambda s: saved.append(s))
+    es(1.0, "s0")
+    assert saved == ["s0"]  # first call always saves (src/EarlyStopping.py:40-43)
+    es(0.5, "s1")
+    assert saved == ["s0", "s1"] and es.counter == 0
+    es(0.6, "s2")
+    assert es.counter == 1 and not es.early_stop
+    es(0.6, "s3")
+    assert es.early_stop  # patience 2 exhausted
+    assert saved == ["s0", "s1"]
