@@ -62,6 +62,8 @@ class DiffusionConfig:
     # src/DiffusionModelTrainer.py:44). "sample" drops per-sample (standard CFG
     # practice, Ho & Salimans 2022); default keeps reference behavior.
     label_drop_mode: str = "batch"
+    # Latent diffusion only (reference src/LatentDiffusionModel.py:28,37).
+    latent_scaling_factor: float = 0.18215
 
 
 @dataclasses.dataclass
@@ -94,6 +96,9 @@ class Config:
     model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
     diffusion: DiffusionConfig = dataclasses.field(default_factory=DiffusionConfig)
     data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    # Latent diffusion: the frozen first stage (its arch + trained weights).
+    autoencoder: Optional[ModelConfig] = None
+    ae_checkpoint: str = ""
 
     # ------------------------------------------------------------------ paths
     @property
@@ -144,9 +149,14 @@ def config_from_dict(raw: Dict[str, Any]) -> Config:
     model_raw = dict(raw.pop("model", {}) or {})
     model = _build_dataclass(ModelConfig, model_raw)
 
+    ae_raw = raw.pop("autoencoder", None)
+    autoencoder = _build_dataclass(ModelConfig, dict(ae_raw)) if ae_raw else None
+
     names = {f.name for f in dataclasses.fields(Config)}
     known = {k: v for k, v in raw.items() if k in names}
-    return Config(model=model, diffusion=diffusion, data=data, **known)
+    return Config(
+        model=model, diffusion=diffusion, data=data, autoencoder=autoencoder, **known
+    )
 
 
 def load_config(path: str) -> Config:

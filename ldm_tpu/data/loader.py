@@ -97,7 +97,8 @@ def create_dataloaders(
         tr, va = split_train_val(trainset, d.val_split, config.seed)
         return (
             DataLoader(tr, config.batch_size, seed=config.seed),
-            DataLoader(va, config.batch_size, seed=config.seed + 1),
+            # keep the tail batch: a tiny val set must never yield zero batches
+            DataLoader(va, config.batch_size, seed=config.seed + 1, drop_last=False),
             test_loader,
             classes,
         )

@@ -27,9 +27,10 @@ Array = jax.Array
 Dtype = Any
 
 
-def _norm(dtype: Dtype) -> nn.GroupNorm:
-    """GroupNorm(32, eps=1e-6) (reference src/Autoencoder.py:9-11)."""
-    return nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=dtype)
+def _norm(channels: int, dtype: Dtype) -> nn.GroupNorm:
+    """GroupNorm(32, eps=1e-6) (reference src/Autoencoder.py:9-11); group count
+    clamps to the channel count so tiny test models remain valid."""
+    return nn.GroupNorm(num_groups=min(32, channels), epsilon=1e-6, dtype=dtype)
 
 
 class ResnetBlock(nn.Module):
@@ -40,9 +41,9 @@ class ResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        h = nn.silu(_norm(self.dtype)(x))
+        h = nn.silu(_norm(x.shape[-1], self.dtype)(x))
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype)(h)
-        h = nn.silu(_norm(self.dtype)(h))
+        h = nn.silu(_norm(h.shape[-1], self.dtype)(h))
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype)(h)
         if x.shape[-1] != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype)(x)
@@ -58,7 +59,7 @@ class AttnBlock(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         b, hh, ww, c = x.shape
-        h = _norm(self.dtype)(x)
+        h = _norm(x.shape[-1], self.dtype)(x)
         q = nn.Dense(c, dtype=self.dtype)(h).reshape(b, hh * ww, c)
         k = nn.Dense(c, dtype=self.dtype)(h).reshape(b, hh * ww, c)
         v = nn.Dense(c, dtype=self.dtype)(h).reshape(b, hh * ww, c)
@@ -121,7 +122,7 @@ class Encoder(nn.Module):
         x = ResnetBlock(chs[-1], dtype=self.dtype)(x)
         x = AttnBlock(dtype=self.dtype)(x)
         x = ResnetBlock(chs[-1], dtype=self.dtype)(x)
-        x = nn.silu(_norm(self.dtype)(x))
+        x = nn.silu(_norm(x.shape[-1], self.dtype)(x))
         return nn.Conv(2 * self.z_channels, (3, 3), padding=1, dtype=self.dtype)(x)
 
 
@@ -149,7 +150,7 @@ class Decoder(nn.Module):
                 x = ResnetBlock(chs[i], dtype=self.dtype)(x)
             if i != 0:
                 x = UpSample(chs[i], dtype=self.dtype)(x)
-        x = nn.silu(_norm(self.dtype)(x))
+        x = nn.silu(_norm(x.shape[-1], self.dtype)(x))
         return nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype)(
             x
         ).astype(jnp.float32)

@@ -94,7 +94,10 @@ class ResNetBase(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = False, probs: bool = False) -> Array:
+    def __call__(
+        self, x: Array, train: bool = False, probs: bool = False,
+        features: bool = False,
+    ) -> Array:
         assert len(self.n_blocks) == len(self.n_channels)
         x = x.astype(self.dtype)
         k = self.first_kernel_size
@@ -122,5 +125,8 @@ class ResNetBase(nn.Module):
                     )(x, train)
 
         x = x.mean(axis=(1, 2))  # global average pool (src/ResNetClassifier.py:237-241)
+        if features:
+            # penultimate embedding — used by ops.fid.classifier_fid
+            return x.astype(jnp.float32)
         logits = nn.Dense(self.out_channels, dtype=self.dtype)(x).astype(jnp.float32)
         return jax.nn.softmax(logits, axis=-1) if probs else logits

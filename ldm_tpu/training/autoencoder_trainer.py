@@ -1,0 +1,191 @@
+"""VAE autoencoder trainer.
+
+Rebuild of the reference ``AutoencoderTrainer`` (src/AutoencoderTrainer.py) — which
+in the reference cannot actually run (its entry point imports nonexistent symbols,
+train_autoencoder.py:7-9 + src/AutoencoderTrainer.py:7,15, SURVEY.md §2.16).  This
+one works end to end:
+
+* ELBO loss = reconstruction + KL divergence (reference ``elbo_loss_function``,
+  src/Trainer.py:13-24).  Two reconstruction terms are supported:
+  - ``elbo``      — sum-reduced BCE on [0,1] images, with the decoder output treated
+                    as LOGITS (the reference feeds raw conv output into
+                    ``binary_cross_entropy``, which requires [0,1] inputs and would
+                    fault — fixed here via sigmoid-BCE, PARITY.md);
+  - ``elbo_mse``  — sum-reduced MSE on [-1,1] images + KLD, the variant to use for
+                    first-stage training of the latent-diffusion pipeline.
+* one jitted, state-donated train step (AMP → bf16 compute, no GradScaler);
+* reconstruction grids saved every 5 epochs (reference eval_step cadence,
+  src/AutoencoderTrainer.py:149-165);
+* early stopping + full-state checkpoints.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ldm_tpu.config import Config
+from ldm_tpu.parallel.mesh import data_sharding, replicated, shard_batch
+from ldm_tpu.training import checkpoint as ckpt
+from ldm_tpu.training.early_stopping import EarlyStopping
+from ldm_tpu.training.state import TrainState, make_optimizer
+from ldm_tpu.utils.logging import MetricsLogger
+
+Array = jax.Array
+
+
+def kl_divergence(mu: Array, log_var: Array) -> Array:
+    """-0.5 * sum(1 + log(sigma^2) - mu^2 - sigma^2) (src/Trainer.py:22-24)."""
+    return -0.5 * jnp.sum(1.0 + log_var - mu**2 - jnp.exp(log_var))
+
+
+def elbo_bce(logits: Array, target01: Array, mu: Array, log_var: Array) -> Array:
+    """Sum-reduced sigmoid-BCE + KLD on [0,1] targets (src/Trainer.py:13-24)."""
+    bce = jnp.sum(optax.sigmoid_binary_cross_entropy(logits, target01))
+    return bce + kl_divergence(mu, log_var)
+
+
+def elbo_mse(recon: Array, target: Array, mu: Array, log_var: Array) -> Array:
+    """Sum-reduced MSE + KLD — the latent-diffusion first-stage variant."""
+    return jnp.sum((recon - target) ** 2) + kl_divergence(mu, log_var)
+
+
+class AutoencoderTrainer:
+    def __init__(
+        self,
+        config: Config,
+        model,  # ldm_tpu.models.autoencoder.Autoencoder
+        train_loader,
+        val_loader,
+        mesh=None,
+        logger: Optional[MetricsLogger] = None,
+    ):
+        assert config.loss_fn in ("elbo", "elbo_mse"), config.loss_fn
+        self.config = config
+        self.model = model
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.mesh = mesh
+        self.logger = logger or MetricsLogger(config.dirpath, config.project_name)
+        config.create_dirs()
+
+        d = config.data
+        dummy = jnp.zeros((1, d.image_size, d.image_size, d.image_channels))
+        key = jax.random.key(config.seed)
+        k_init, k_noise, k_state = jax.random.split(key, 3)
+        params = jax.jit(model.init)(k_init, dummy, k_noise)
+        self.state = TrainState.create(
+            params, make_optimizer(config.lr), k_state, ema_decay=config.ema_decay
+        )
+        self._train_step = self._jit(self._make_step(train=True), donate_state=True)
+        self._eval_step = self._jit(self._make_step(train=False))
+        self.early_stopping = EarlyStopping(
+            patience=config.early_stopping_patience, verbose=True,
+            save_fn=self._save_best,
+        )
+
+    # ------------------------------------------------------------------- jit
+    def _jit(self, fn, donate_state: bool = False):
+        kw = {"donate_argnums": (0,)} if donate_state else {}
+        if self.mesh is None:
+            return jax.jit(fn, **kw)
+        rep, dat = replicated(self.mesh), data_sharding(self.mesh)
+        return jax.jit(fn, in_shardings=(rep, dat), **kw)
+
+    def _loss(self, params, key: Array, image: Array) -> Tuple[Array, dict]:
+        recon, mu, log_var = self.model.apply(params, image, key)
+        if self.config.loss_fn == "elbo":
+            target01 = (image + 1.0) / 2.0  # loader yields [-1,1]
+            loss = elbo_bce(recon, target01, mu, log_var)
+        else:
+            loss = elbo_mse(recon, image, mu, log_var)
+        # per-sample scale for readable logging (the reference logs the raw sum)
+        return loss, {"loss": loss / image.shape[0], "kld": kl_divergence(mu, log_var) / image.shape[0]}
+
+    def _make_step(self, train: bool):
+        if train:
+            def train_step(state: TrainState, batch):
+                key = state.step_key()
+                (_, metrics), grads = jax.value_and_grad(
+                    lambda p: self._loss(p, key, batch["image"]), has_aux=True
+                )(state.params)
+                return state.apply_gradients(grads), metrics
+
+            return train_step
+
+        def eval_step(state: TrainState, batch):
+            key = jax.random.fold_in(
+                jax.random.fold_in(state.key, 0xAE), batch["index"][0]
+            )
+            _, metrics = self._loss(state.params, key, batch["image"])
+            return metrics
+
+        return eval_step
+
+    # ----------------------------------------------------------- persistence
+    def _save_best(self, state: TrainState) -> None:
+        ckpt.save_params(f"{self.config.checkpoints}/autoencoder.msgpack", state.params)
+        ckpt.save_state(f"{self.config.checkpoints}/autoencoder_state.msgpack", state)
+
+    # ---------------------------------------------------------------- epochs
+    def _epoch(self, train: bool) -> float:
+        from ldm_tpu.parallel.mesh import global_batch_multiple
+
+        n_div = global_batch_multiple(self.mesh)
+        losses = []
+        loader = self.train_loader if train else self.val_loader
+        for i, batch in enumerate(loader):
+            if len(batch["label"]) % n_div:
+                continue  # mesh-sharded steps need evenly splittable batches
+            if not train:
+                batch["index"] = np.full((len(batch["label"]),), i, np.int32)
+            batch = shard_batch(self.mesh, batch)
+            if train:
+                self.state, m = self._train_step(self.state, batch)
+            else:
+                m = self._eval_step(self.state, batch)
+            losses.append(m["loss"])
+        if not losses:
+            raise ValueError("loader yielded no (mesh-divisible) batches")
+        return float(np.mean(jax.device_get(losses)))
+
+    def reconstruct(self, images: np.ndarray) -> np.ndarray:
+        """Reconstruction grid source (uint8 NHWC out)."""
+        key = jax.random.fold_in(self.state.key, 0x7EC)
+        recon, _, _ = self.model.apply(
+            self.state.params, jnp.asarray(images), key
+        )
+        if self.config.loss_fn == "elbo":
+            out01 = jax.nn.sigmoid(recon)
+        else:
+            out01 = jnp.clip((recon + 1.0) / 2.0, 0.0, 1.0)
+        return np.asarray(out01 * 255.0, np.uint8)
+
+    def train(self) -> dict:
+        history = {"train_loss": [], "val_loss": []}
+        for epoch in range(self.config.epochs):
+            tr = self._epoch(train=True)
+            va = self._epoch(train=False)
+            history["train_loss"].append(tr)
+            history["val_loss"].append(va)
+            self.logger.log(
+                {"autoencoder train_loss": tr, "autoencoder val_loss": va,
+                 "epoch": epoch},
+                step=epoch,
+            )
+            if epoch % 5 == 0:
+                batch = next(iter(self.val_loader))
+                recon = self.reconstruct(batch["image"][:8])
+                self.logger.log_images(
+                    recon, step=epoch, mode="reconstruction",
+                    dirpath=self.config.results,
+                )
+            self.early_stopping(va, self.state)
+            if self.early_stopping.early_stop:
+                print("Early stopping")
+                break
+        return history

@@ -54,6 +54,7 @@ class DiffusionTrainer:
         mesh=None,
         logger: Optional[MetricsLogger] = None,
         cfg_scale: Optional[float] = None,
+        input_shape: Optional[Tuple[int, int, int]] = None,
     ):
         assert config.loss_fn == "mse", "diffusion training uses MSE (src/Trainer.py:62)"
         self.config = config
@@ -68,7 +69,9 @@ class DiffusionTrainer:
         config.create_dirs()
 
         d = config.data
-        self.image_shape = (d.image_size, d.image_size, d.image_channels)
+        # The space the diffusion runs in: pixels by default; the latent trainer
+        # passes the latent shape instead (SURVEY.md §7 step 8).
+        self.image_shape = input_shape or (d.image_size, d.image_size, d.image_channels)
         key = jax.random.key(config.seed)
         k_init, k_state = jax.random.split(key)
         dummy_x = jnp.zeros((1,) + self.image_shape, jnp.float32)
@@ -109,13 +112,19 @@ class DiffusionTrainer:
         rep, dat = replicated(self.mesh), data_sharding(self.mesh)
         return jax.jit(fn, in_shardings=(rep, dat), **kw)
 
+    def _encode(self, key: Array, image: Array) -> Array:
+        """Map a data batch into the diffusion space — identity for pixel DDPM;
+        the latent trainer overrides with the frozen-VAE encode."""
+        return image
+
     def _build_train_step(self):
         model, diffusion = self.model, self.diffusion
 
         def train_step(state: TrainState, batch) -> Tuple[TrainState, dict]:
             key = state.step_key()
-            k_noise, k_drop = jax.random.split(key)
-            eps, xt, t = diffusion.noise_batch(k_noise, batch["image"])
+            k_noise, k_drop, k_enc = jax.random.split(key, 3)
+            x0 = self._encode(k_enc, batch["image"])
+            eps, xt, t = diffusion.noise_batch(k_noise, x0)
             y = self._dropped_labels(k_drop, batch["label"])
 
             def loss_fn(params):
@@ -139,7 +148,9 @@ class DiffusionTrainer:
             key = jax.random.fold_in(
                 jax.random.fold_in(state.key, 0x5EED), batch["index"][0]
             )
-            eps, xt, t = diffusion.noise_batch(key, batch["image"])
+            k_noise, k_enc = jax.random.split(key)
+            x0 = self._encode(k_enc, batch["image"])
+            eps, xt, t = diffusion.noise_batch(k_noise, x0)
             y = batch["label"]
             eps_theta = model.apply(state.params, xt, t, y)
             if cfg > 0:
@@ -186,20 +197,37 @@ class DiffusionTrainer:
         return True
 
     # ----------------------------------------------------------------- epochs
+    def _divisible(self, batch) -> bool:
+        """Mesh-sharded steps need the batch to split evenly across devices."""
+        from ldm_tpu.parallel.mesh import global_batch_multiple
+
+        return len(batch["label"]) % global_batch_multiple(self.mesh) == 0
+
     def _train_epoch(self, epoch: int) -> float:
         losses = []
         for batch in self.train_loader:
+            if not self._divisible(batch):
+                continue
             batch = shard_batch(self.mesh, batch)
             self.state, m = self._train_step(self.state, batch)
             losses.append(m["loss"])  # device scalar; no per-step host sync
+        if not losses:
+            raise ValueError("train loader yielded no (mesh-divisible) batches")
         return float(np.mean(jax.device_get(losses)))
 
     def _val_epoch(self, epoch: int) -> float:
         losses = []
         for i, batch in enumerate(self.val_loader):
+            if not self._divisible(batch):
+                continue
             batch["index"] = np.full((len(batch["label"]),), i, np.int32)
             batch = shard_batch(self.mesh, batch)
             losses.append(self._eval_step(self.state, batch)["loss"])
+        if not losses:
+            raise ValueError(
+                "validation loader yielded no (mesh-divisible) batches — "
+                "use drop_last=False or a larger val split"
+            )
         return float(np.mean(jax.device_get(losses)))
 
     def train(self) -> dict:

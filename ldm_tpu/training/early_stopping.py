@@ -32,6 +32,13 @@ class EarlyStopping:
         self.val_loss_min = np.inf
 
     def __call__(self, val_loss: float, state) -> None:
+        if not np.isfinite(val_loss):
+            # NaN/inf never counts as an improvement (NaN comparisons are always
+            # False, which would otherwise save a broken checkpoint)
+            self.counter += 1
+            if self.counter >= self.patience:
+                self.early_stop = True
+            return
         score = -float(val_loss)
         if self.best_score is None:
             self.best_score = score

@@ -1,0 +1,74 @@
+"""Latent diffusion trainer: DDPM over frozen-VAE latents.
+
+The reference's latent path is aspirational — ``LatentDiffusionModel`` exists
+(src/LatentDiffusionModel.py) but no trainer or entry point drives it, and its
+decode is broken (SURVEY.md §2.16).  This trainer completes the capability:
+
+* the frozen autoencoder's encode runs INSIDE the jitted train step — images go
+  host→HBM once, latents never leave the device (BASELINE.json: "latents
+  HBM-resident end-to-end");
+* the autoencoder params are closed over as constants (not part of TrainState), the
+  idiomatic JAX way to freeze a first stage;
+* sampling draws latents with the lax.scan ancestral loop and decodes to images in
+  the same jitted program.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ldm_tpu.config import Config
+from ldm_tpu.models.latent import LatentDiffusionModel
+from ldm_tpu.training.diffusion_trainer import DiffusionTrainer
+from ldm_tpu.utils.logging import MetricsLogger
+from ldm_tpu.data.transforms import reverse_transform
+
+Array = jax.Array
+
+
+def latent_shape_of(autoencoder, image_size: int):
+    """Spatial downsampling is 2^(n_resolutions - 1) (reference Encoder downsamples
+    after every top-level block except the last, src/Autoencoder.py:241-244)."""
+    factor = 2 ** (len(autoencoder.channel_multipliers) - 1)
+    z = image_size // factor
+    return (z, z, autoencoder.z_channels)
+
+
+class LatentDiffusionTrainer(DiffusionTrainer):
+    def __init__(
+        self,
+        config: Config,
+        ldm: LatentDiffusionModel,
+        ae_params,  # trained (frozen) autoencoder params
+        train_loader,
+        val_loader,
+        classes,
+        mesh=None,
+        logger: Optional[MetricsLogger] = None,
+    ):
+        self.ldm = ldm
+        self.ae_params = ae_params
+        z_shape = latent_shape_of(ldm.autoencoder, config.data.image_size)
+        super().__init__(
+            config, ldm.eps_model, ldm.diffusion, train_loader, val_loader,
+            classes, mesh=mesh, logger=logger, input_shape=z_shape,
+        )
+
+    def _encode(self, key: Array, image: Array) -> Array:
+        """scale * encode(image).sample() inside the jitted step
+        (reference src/LatentDiffusionModel.py:57-65)."""
+        return self.ldm.autoencoder_encode(self.ae_params, key, image)
+
+    def sample(
+        self, classes, cfg_scale: float = 0.0, key=None, use_ema: bool = True
+    ) -> np.ndarray:
+        """Sample latents → decode → uint8 images."""
+        key = key if key is not None else jax.random.fold_in(self.state.key, 0x5A7713)
+        params = self.state.ema_params if use_ema else self.state.params
+        z0 = self._sampler(params, key, jnp.asarray(classes, jnp.int32), float(cfg_scale))
+        images = self.ldm.autoencoder_decode(self.ae_params, z0)
+        return reverse_transform(jax.device_get(images))

@@ -160,8 +160,13 @@ class ResNetTrainer:
                 "valid": self.val_loader, "test": self.test_loader,
             }[mode]
         training = mode in ("train", "pretrain")
+        from ldm_tpu.parallel.mesh import global_batch_multiple
+
+        n_div = global_batch_multiple(self.mesh)
         losses, cm_total = [], np.zeros((self.num_classes, self.num_classes), np.int64)
         for batch in dataloader:
+            if len(batch["label"]) % n_div:
+                continue  # mesh-sharded steps need evenly splittable batches
             batch = shard_batch(self.mesh, batch)
             if training:
                 self.state, m = self._train_step(self.state, batch)
@@ -169,6 +174,8 @@ class ResNetTrainer:
                 m = self._eval_step(self.state, batch)
             losses.append(m["loss"])
             cm_total += np.asarray(jax.device_get(m["cm"]), np.int64)
+        if not losses:
+            raise ValueError(f"{mode} loader yielded no (mesh-divisible) batches")
         stats = {
             k: float(v)
             for k, v in f1_from_confusion(jnp.asarray(cm_total)).items()

@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""The flagship end-to-end augmentation experiment (reference main.py).
+
+Trains a class-conditional DDPM on half the train set, a ResNet classifier on the
+other half, generates a synthetic dataset by sampling the DDPM with classifier-free
+guidance, then retrains the classifier on five real/synthetic mixes and reports
+test F1 for each (report.pdf Table 6).
+
+Usage: python main.py <config.yaml> [--cpu] [--mesh] [--per-class N] [--save-png]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("config")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--mesh", action="store_true")
+    ap.add_argument("--per-class", type=int, default=None,
+                    help="synthetic images per class (default: |diffusion half| / 10)")
+    ap.add_argument("--save-png", action="store_true",
+                    help="also write the synthetic set as an ImageFolder PNG tree")
+    ap.add_argument("--classifier-epochs", type=int, default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from ldm_tpu.config import load_config
+    from ldm_tpu.experiments.augmentation import run_augmentation_experiment
+    from ldm_tpu.parallel.mesh import create_mesh
+    from ldm_tpu.utils.seed import set_seed
+
+    config = load_config(args.config)
+    set_seed(config.seed)
+    result = run_augmentation_experiment(
+        config,
+        mesh=create_mesh() if args.mesh else None,
+        n_per_class=args.per_class,
+        save_png=args.save_png,
+        classifier_epochs=args.classifier_epochs,
+    )
+    print(json.dumps({"test_f1": result.test_f1,
+                      "synthetic_size": result.synthetic_size}, indent=2))
+
+
+if __name__ == "__main__":
+    main()

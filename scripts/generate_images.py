@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Sampling-only entry point (reference generate_images.py).
+
+Loads the best diffusion checkpoint from the config's run directory and samples
+``--per-class`` images per class at CFG scale 3 into ``results/<class>/``
+(reference generate_images.py:29-41 samples 1/class; batched here).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, ".")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("config")
+    ap.add_argument("--per-class", type=int, default=1)
+    ap.add_argument("--cfg-scale", type=float, default=None)
+    ap.add_argument("--ema", action="store_true", default=True)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ldm_tpu.config import load_config
+    from ldm_tpu.data.transforms import reverse_transform
+    from ldm_tpu.factory import build_diffusion, build_model
+    from ldm_tpu.training import checkpoint as ckpt
+    from ldm_tpu.utils.images import save_images
+
+    config = load_config(args.config)
+    cfg_scale = args.cfg_scale if args.cfg_scale is not None else config.diffusion.cfg_scale
+    model = build_model(config)
+    diffusion = build_diffusion(config)
+    d = config.data
+    shape = (d.image_size, d.image_size, d.image_channels)
+
+    # weights: EMA if present (reference reloads the best state_dict,
+    # generate_images.py:51-58)
+    name = "diffusion_model_ema.msgpack" if args.ema else "diffusion_model.msgpack"
+    path = os.path.join(config.checkpoints, name)
+    template = jax.jit(model.init)(
+        jax.random.key(0), jnp.zeros((1,) + shape), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1,), jnp.int32),
+    )
+    params = ckpt.load_params(path, template)
+
+    classes = np.repeat(np.arange(d.num_classes, dtype=np.int32), args.per_class)
+    sampler = jax.jit(
+        lambda p, k, y: diffusion.sample(
+            model.apply, p, k, y, shape, cfg_scale=cfg_scale,
+            null_label=model.num_classes,
+        )
+    )
+    x0 = sampler(params, jax.random.key(config.seed), jnp.asarray(classes))
+    images = reverse_transform(jax.device_get(x0))
+    paths = [
+        os.path.join(config.results, str(c), f"sample_{i % args.per_class}.png")
+        for i, c in enumerate(classes)
+    ]
+    save_images(list(images), paths)
+    print(f"wrote {len(paths)} images under {config.results}/")
+
+
+if __name__ == "__main__":
+    main()

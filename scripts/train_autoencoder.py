@@ -1,0 +1,51 @@
+#!/usr/bin/env python
+"""VAE autoencoder training (the reference's train_autoencoder.py crashes on import
+— SURVEY.md §2.16; this is the working equivalent).
+
+Usage: python scripts/train_autoencoder.py <config.yaml> [--cpu] [--mesh]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+sys.path.insert(0, ".")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("config")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--mesh", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from ldm_tpu.config import load_config
+    from ldm_tpu.data.loader import create_dataloaders
+    from ldm_tpu.parallel.mesh import create_mesh
+    from ldm_tpu.registry import instantiate_from_config
+    from ldm_tpu.factory import compute_dtype
+    from ldm_tpu.training.autoencoder_trainer import AutoencoderTrainer
+    from ldm_tpu.utils.seed import set_seed
+
+    config = load_config(args.config)
+    set_seed(config.seed)
+    train_loader, val_loader, _test, _classes = create_dataloaders(config)
+    model = instantiate_from_config(
+        {"target": config.model.target, "params": config.model.params},
+        dtype=compute_dtype(config),
+    )
+    trainer = AutoencoderTrainer(
+        config, model, train_loader, val_loader,
+        mesh=create_mesh() if args.mesh else None,
+    )
+    trainer.train()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,54 @@
+#!/usr/bin/env python
+"""Config-driven diffusion training (reference train_diffusion_model.py).
+
+Usage: python scripts/train_diffusion_model.py <config.yaml> [--resume] [--cpu]
+
+Accepts this repo's configs/ or the reference's config_files/*.yaml verbatim.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+sys.path.insert(0, ".")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("config")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from the latest full-state checkpoint")
+    ap.add_argument("--cpu", action="store_true", help="force the CPU platform")
+    ap.add_argument("--mesh", action="store_true",
+                    help="data-parallel over all local devices")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from ldm_tpu.config import load_config
+    from ldm_tpu.data.loader import create_dataloaders
+    from ldm_tpu.factory import build_diffusion, build_model
+    from ldm_tpu.parallel.mesh import create_mesh
+    from ldm_tpu.training.diffusion_trainer import DiffusionTrainer
+    from ldm_tpu.utils.seed import set_seed
+
+    config = load_config(args.config)
+    set_seed(config.seed)
+    train_loader, val_loader, _test_loader, classes = create_dataloaders(config)
+    mesh = create_mesh() if args.mesh else None
+
+    trainer = DiffusionTrainer(
+        config, build_model(config), build_diffusion(config),
+        train_loader, val_loader, classes, mesh=mesh,
+    )
+    if args.resume and trainer.resume_latest():
+        print(f"resumed from step {int(trainer.state.step)}")
+    trainer.train()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Latent diffusion training: DDPM over frozen-VAE latents.
+
+Completes the reference's aspirational latent path (src/LatentDiffusionModel.py has
+no working trainer/entry point, SURVEY.md §2.16).  The config must carry an
+``autoencoder:`` block (arch) and ``ae_checkpoint`` (params saved by
+scripts/train_autoencoder.py); the ``model:`` block is the latent-space UNet.
+
+Usage: python scripts/train_latent_diffusion.py <config.yaml> [--cpu] [--mesh]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+sys.path.insert(0, ".")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("config")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--mesh", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+
+    from ldm_tpu.config import load_config
+    from ldm_tpu.data.loader import create_dataloaders
+    from ldm_tpu.factory import build_model, compute_dtype
+    from ldm_tpu.models.latent import LatentDiffusionModel
+    from ldm_tpu.parallel.mesh import create_mesh
+    from ldm_tpu.registry import instantiate_from_config
+    from ldm_tpu.training import checkpoint as ckpt
+    from ldm_tpu.training.latent_trainer import LatentDiffusionTrainer
+    from ldm_tpu.utils.seed import set_seed
+
+    config = load_config(args.config)
+    assert config.autoencoder is not None, "config needs an autoencoder: block"
+    set_seed(config.seed)
+
+    ae = instantiate_from_config(
+        {"target": config.autoencoder.target, "params": config.autoencoder.params},
+        dtype=compute_dtype(config),
+    )
+    d = config.data
+    ae_template = jax.jit(ae.init)(
+        jax.random.key(0),
+        jnp.zeros((1, d.image_size, d.image_size, d.image_channels)),
+        jax.random.key(1),
+    )
+    if config.ae_checkpoint:
+        ae_params = ckpt.load_params(config.ae_checkpoint, ae_template)
+        print(f"loaded frozen autoencoder from {config.ae_checkpoint}")
+    else:
+        print("WARNING: no ae_checkpoint configured — using random-init autoencoder")
+        ae_params = ae_template
+
+    dc = config.diffusion
+    ldm = LatentDiffusionModel(
+        eps_model=build_model(config),
+        autoencoder=ae,
+        latent_scaling_factor=dc.latent_scaling_factor,
+        n_steps=dc.n_steps,
+        linear_start=dc.beta_start,
+        linear_end=dc.beta_end,
+    )
+    train_loader, val_loader, _test, classes = create_dataloaders(config)
+    trainer = LatentDiffusionTrainer(
+        config, ldm, ae_params, train_loader, val_loader, classes,
+        mesh=create_mesh() if args.mesh else None,
+    )
+    trainer.train()
+
+
+if __name__ == "__main__":
+    main()

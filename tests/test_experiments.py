@@ -1,0 +1,46 @@
+"""End-to-end smoke of the 5-experiment augmentation pipeline + viz helpers."""
+
+import numpy as np
+import pytest
+
+from ldm_tpu.config import Config, DataConfig, DiffusionConfig, ModelConfig
+from ldm_tpu.diffusion.ddpm import GaussianDiffusion
+from ldm_tpu.utils.viz import forward_diffusion_at, forward_process_grid
+
+
+def test_forward_process_viz(tmp_path):
+    diff = GaussianDiffusion(n_steps=50)
+    img = np.random.default_rng(0).uniform(-1, 1, (8, 8, 1)).astype(np.float32)
+    one = forward_diffusion_at(diff, img, t=25)
+    assert one.shape == (8, 8, 1) and one.dtype == np.uint8
+    out = str(tmp_path / "fwd.png")
+    grid = forward_process_grid(diff, img, out_path=out)
+    assert grid.dtype == np.uint8
+    import os
+
+    assert os.path.exists(out)
+
+
+@pytest.mark.slow
+def test_augmentation_experiment_tiny(tmp_path):
+    """The full protocol (diffusion train → synth generation → 5 classifier mixes
+    → test F1) on a tiny model/dataset."""
+    from ldm_tpu.experiments.augmentation import run_augmentation_experiment
+
+    cfg = Config(
+        project_name="aug", workdir=str(tmp_path), epochs=1, batch_size=16,
+        use_amp=False, seed=0, debugging=False,
+        model=ModelConfig(params=dict(
+            in_channels=1, out_channels=1, channels=8,
+            channel_multipliers=[1], num_classes=10,
+        )),
+        diffusion=DiffusionConfig(n_steps=4, cfg_scale=3),
+        data=DataConfig(dataset="SYNTHETIC", image_size=8, image_channels=1),
+    )
+    result = run_augmentation_experiment(
+        cfg, n_per_class=4, sample_batch=16, classifier_epochs=1,
+        classifier_arch=dict(n_blocks=(1,), n_channels=(8,)),
+    )
+    assert set(result.test_f1) == {"exp1", "exp2", "exp3", "exp4", "exp5"}
+    assert all(0.0 <= v <= 1.0 for v in result.test_f1.values())
+    assert result.synthetic_size == 40

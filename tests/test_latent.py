@@ -1,0 +1,77 @@
+"""Latent diffusion wiring + trainer tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ldm_tpu.config import Config, DataConfig, DiffusionConfig
+from ldm_tpu.data.datasets import synthetic_dataset
+from ldm_tpu.data.loader import DataLoader
+from ldm_tpu.models.autoencoder import Autoencoder
+from ldm_tpu.models.latent import LatentDiffusionModel
+from ldm_tpu.models.unet import UNet
+from ldm_tpu.training.latent_trainer import LatentDiffusionTrainer, latent_shape_of
+
+
+def _tiny_ldm():
+    ae = Autoencoder(in_channels=1, out_channels=1, channels=8,
+                     channel_multipliers=(1, 2), n_resnet_blocks=1, z_channels=4)
+    unet = UNet(in_channels=4, out_channels=4, channels=8,
+                channel_multipliers=(1, 2), num_classes=10)
+    return LatentDiffusionModel(
+        eps_model=unet, autoencoder=ae, latent_scaling_factor=0.18215,
+        n_steps=8, linear_start=8.5e-4, linear_end=1.2e-2,
+    )
+
+
+def test_latent_shape_of():
+    ae = Autoencoder(channels=8, channel_multipliers=(1, 2), z_channels=4)
+    assert latent_shape_of(ae, 16) == (8, 8, 4)
+    ae4 = Autoencoder(channels=8, channel_multipliers=(1, 2, 4, 8), z_channels=512)
+    assert latent_shape_of(ae4, 32) == (4, 4, 512)
+
+
+def test_sqrt_linear_schedule_used():
+    ldm = _tiny_ldm()
+    betas = np.asarray(ldm.diffusion.schedule.betas)
+    expected = np.linspace(8.5e-4**0.5, 1.2e-2**0.5, 8, dtype=np.float64) ** 2
+    np.testing.assert_allclose(betas, expected.astype(np.float32))
+
+
+@pytest.mark.slow
+def test_latent_trainer_end_to_end(tmp_path):
+    """Frozen-VAE encode inside the jitted step; sample() decodes to images."""
+    ldm = _tiny_ldm()
+    cfg = Config(
+        project_name="ldm", workdir=str(tmp_path), type="latent",
+        epochs=1, batch_size=16, use_amp=False, seed=0,
+        diffusion=DiffusionConfig(n_steps=8, cfg_scale=3),
+        data=DataConfig(dataset="SYNTHETIC", image_size=16, image_channels=1),
+    )
+    ae_params = jax.jit(ldm.autoencoder.init)(
+        jax.random.key(0), jnp.zeros((1, 16, 16, 1)), jax.random.key(1)
+    )
+    ds = synthetic_dataset(48, 16, 1, seed=0)
+    trainer = LatentDiffusionTrainer(
+        cfg, ldm, ae_params,
+        DataLoader(ds.subset(np.arange(32)), 16, seed=0),
+        DataLoader(ds.subset(np.arange(32, 48)), 16, seed=1),
+        classes=list(range(10)),
+    )
+    hist = trainer.train()
+    assert np.isfinite(hist["train_loss"][0])
+    imgs = trainer.sample([0, 1], cfg_scale=3.0)
+    assert imgs.shape == (2, 16, 16, 1) and imgs.dtype == np.uint8
+
+
+def test_encode_decode_roundtrip_scaling():
+    ldm = _tiny_ldm()
+    ae_params = jax.jit(ldm.autoencoder.init)(
+        jax.random.key(0), jnp.zeros((1, 16, 16, 1)), jax.random.key(1)
+    )
+    img = jax.random.normal(jax.random.key(2), (2, 16, 16, 1))
+    z = ldm.autoencoder_encode(ae_params, jax.random.key(3), img)
+    assert z.shape == (2, 8, 8, 4)
+    out = ldm.autoencoder_decode(ae_params, z)
+    assert out.shape == img.shape
