@@ -85,3 +85,37 @@ def test_channel_counts_follow_multipliers(tiny):
     sizes = {jax.tree_util.keystr(k): v.shape for k, v in flat}
     # encoder level dims 8 -> 8, 8 -> 16 per channel_multipliers (1, 2)
     assert any(v == (8, 16) or v == (16,) for v in sizes.values())
+
+
+def test_linear_attention_matches_naive_per_head():
+    """The MXU-friendly block-diagonal formulation must equal the reference's
+    per-head einsum form (src/UNet.py:139-164) with identical weights."""
+    from ldm_tpu.models.unet import LinearAttention
+
+    heads, dim_head = 4, 32
+    b, hh, ww, c = 2, 8, 8, 16
+    mod = LinearAttention(heads=heads, dim_head=dim_head)
+    x = jax.random.normal(jax.random.key(0), (b, hh, ww, c))
+    params = mod.init(jax.random.key(1), x)
+    got = mod.apply(params, x)
+
+    p = params["params"]
+    qkv = jnp.einsum("bhwc,cd->bhwd", x, p["Dense_0"]["kernel"])
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def split_heads(a):  # (B,H,W,h*d) -> (B,h,N,d), h-major channels
+        a = a.reshape(b, hh * ww, heads, dim_head)
+        return a.transpose(0, 2, 1, 3)
+
+    q, k, v = split_heads(q), split_heads(k), split_heads(v)
+    q = jax.nn.softmax(q, axis=-1) * dim_head**-0.5
+    k = jax.nn.softmax(k, axis=-2)
+    context = jnp.einsum("bhnd,bhne->bhde", k, v)
+    out = jnp.einsum("bhde,bhnd->bhne", context, q)
+    out = out.transpose(0, 2, 1, 3).reshape(b, hh, ww, heads * dim_head)
+    out = out @ p["out_kernel"] + p["out_bias"]
+    gn = p["GroupNorm_0"]
+    mean = out.mean(axis=(1, 2, 3), keepdims=True)
+    var = out.var(axis=(1, 2, 3), keepdims=True)
+    want = (out - mean) * jax.lax.rsqrt(var + 1e-5) * gn["scale"] + gn["bias"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
