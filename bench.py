@@ -5,11 +5,23 @@ CIFAR-10-shaped class-conditional UNet with classifier-free guidance (the
 reference's hot loop, src/DDPM.py:98-130).  Also measures UNet train steps/sec as a
 secondary metric (reported in the JSON line's extra fields).
 
-``vs_baseline`` compares against the REFERENCE DESIGN measured on the SAME chip: a
-Python per-step loop with two separate UNet calls (cond + uncond) and a host sync
-per step — exactly the reference algorithm's structure — timed once and cached in
-BASELINE_MEASURED.json.  The reference repo itself publishes no throughput numbers
-(BASELINE.md), so same-hardware design-vs-design is the honest comparison.
+Both designs are measured at their own best batch size (swept): throughput is a
+function of batch, and the two designs have different optima — the scan sampler
+peaks where the 2B CFG batch aligns with TPU tiling (B=64 -> 2B=128), while the
+reference-style loop amortizes its per-step host sync with larger batches.
+
+Two baselines, both measured here and cached in BASELINE_MEASURED.json (the
+reference repo publishes no throughput numbers, BASELINE.md):
+
+* ``vs_baseline`` — against the ACTUAL reference implementation (PyTorch,
+  /root/reference/src/{UNet,DDPM}.py, executed — not copied — for measurement) on
+  CPU, the only hardware it can run on in this image (no CUDA device exists).
+  This is the BASELINE.json north-star comparison ("vs the reference on CPU/GPU").
+* ``vs_reference_style_same_chip`` — the strictest engineering ratio: the
+  reference ALGORITHM STRUCTURE (Python per-step loop, two separate UNet calls,
+  host sync per step) re-created on the same TPU chip with our optimized JAX
+  model, at its own best batch size.  This isolates the design win (lax.scan +
+  batched CFG) from the hardware and kernel wins.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
@@ -24,7 +36,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BATCH = 128
+OUR_BATCHES = (64, 128)
+REF_BATCHES = (64, 128, 256)
 T = 1000
 BASELINE_FILE = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
 
@@ -44,9 +57,9 @@ def build():
     return model, diffusion, params
 
 
-def bench_scan_sampler(model, diffusion, params) -> float:
+def bench_scan_sampler(model, diffusion, params, batch: int) -> float:
     """Our design: whole T-step loop as one on-device lax.scan, batched CFG."""
-    classes = jnp.arange(BATCH, dtype=jnp.int32) % 10
+    classes = jnp.arange(batch, dtype=jnp.int32) % 10
 
     @jax.jit
     def run(params, key):
@@ -55,27 +68,28 @@ def bench_scan_sampler(model, diffusion, params) -> float:
             cfg_scale=3.0, null_label=10,
         )
 
-    run(params, jax.random.key(0)).block_until_ready()  # compile
+    np.asarray(run(params, jax.random.key(0)))  # compile + full completion
     times = []
     for i in range(3):
         t0 = time.perf_counter()
-        run(params, jax.random.key(i + 1)).block_until_ready()
+        np.asarray(run(params, jax.random.key(i + 1)))
         times.append(time.perf_counter() - t0)
-    return BATCH / min(times)
+    return batch / min(times)
 
 
-def bench_reference_style(model, diffusion, params, n_steps: int = 50) -> float:
+def bench_reference_style(model, diffusion, params, batch: int,
+                          n_steps: int = 50) -> float:
     """The reference algorithm's structure on the same chip: Python loop, two
     separate jitted UNet calls per step (cond, uncond), lerp and p_sample on
     device but loop + step indexing driven from host (src/DDPM.py:98-130).
     Timed over n_steps and extrapolated to T (per-step cost is constant)."""
-    classes = jnp.arange(BATCH, dtype=jnp.int32) % 10
-    null = jnp.full((BATCH,), 10, jnp.int32)
+    classes = jnp.arange(batch, dtype=jnp.int32) % 10
+    null = jnp.full((batch,), 10, jnp.int32)
     fwd = jax.jit(model.apply)
     p_sample = jax.jit(diffusion.p_sample)
 
     def step(xt, t_int, key):
-        t_vec = jnp.full((BATCH,), t_int, jnp.int32)
+        t_vec = jnp.full((batch,), t_int, jnp.int32)
         eps_c = fwd(params, xt, t_vec, classes)
         eps_u = fwd(params, xt, t_vec, null)
         eps = eps_u + 3.0 * (eps_c - eps_u)
@@ -83,7 +97,7 @@ def bench_reference_style(model, diffusion, params, n_steps: int = 50) -> float:
         return p_sample(xt, t_vec, eps, noise)
 
     key = jax.random.key(0)
-    xt = jax.random.normal(key, (BATCH, 32, 32, 3), jnp.float32)
+    xt = jax.random.normal(key, (batch, 32, 32, 3), jnp.float32)
     xt = step(xt, T - 1, key)  # compile
     xt.block_until_ready()
     t0 = time.perf_counter()
@@ -91,13 +105,11 @@ def bench_reference_style(model, diffusion, params, n_steps: int = 50) -> float:
         xt = step(xt, t_int, key)
         float(xt[0, 0, 0, 0])  # the reference's per-step host sync (t[0].item())
     dt = time.perf_counter() - t0
-    return BATCH / (dt / n_steps * T)
+    return batch / (dt / n_steps * T)
 
 
 def bench_train_step(model, diffusion, params) -> float:
-    """UNet train steps/sec (secondary metric)."""
-    import optax
-
+    """UNet train steps/sec (secondary metric), batch 64 like the reference."""
     from ldm_tpu.training.state import TrainState, make_optimizer
 
     state = TrainState.create(params, make_optimizer(5e-4), jax.random.key(1))
@@ -126,44 +138,98 @@ def bench_train_step(model, diffusion, params) -> float:
     t0 = time.perf_counter()
     for _ in range(n):
         state, loss = train_step(state, batch)
-    loss.block_until_ready()
+    float(loss)
     return n / (time.perf_counter() - t0)
+
+
+def bench_reference_torch_cpu(batch: int = 16, n_steps: int = 5) -> float:
+    """The reference's own PyTorch sampler cost on CPU (imported from
+    /root/reference and executed for measurement only): 2 UNet calls + lerp +
+    p_sample per step (src/DDPM.py:98-130), extrapolated to T."""
+    import sys
+    import torch
+
+    sys.path.insert(0, "/root/reference")
+    from src.DDPM import Diffusion  # noqa: E402
+    from src.UNet import UNet as TorchUNet  # noqa: E402
+
+    torch.manual_seed(0)
+    model = TorchUNet(in_channels=3, out_channels=3, channels=64,
+                      num_classes=10).eval()
+    diff = Diffusion(n_steps=T, device=torch.device("cpu"), n_samples=1)
+    xt = torch.randn(batch, 3, 32, 32)
+    classes = torch.arange(batch) % 10
+    with torch.no_grad():
+        tv = torch.full((batch,), T - 1, dtype=torch.long)
+        model(xt, tv, classes)  # warmup
+        t0 = time.perf_counter()
+        for i in range(n_steps):
+            tv = torch.full((batch,), T - 1 - i, dtype=torch.long)
+            eps_c = model(xt, tv, classes)
+            eps_u = model(xt, tv, None)
+            eps = torch.lerp(eps_u, eps_c, 3.0)
+            xt = diff.p_sample(xt, tv, eps)
+        dt = (time.perf_counter() - t0) / n_steps
+    return batch / (dt * T)
 
 
 def main():
     n_chips = jax.device_count()
     model, diffusion, params = build()
 
-    imgs_per_sec = bench_scan_sampler(model, diffusion, params) / n_chips
+    ours = {b: bench_scan_sampler(model, diffusion, params, b) / n_chips
+            for b in OUR_BATCHES}
+    best_batch = max(ours, key=ours.get)
+    imgs_per_sec = ours[best_batch]
     steps_per_sec = bench_train_step(model, diffusion, params)
 
+    baseline_info = None
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
-            baseline = json.load(f)["reference_style_images_per_sec_per_chip"]
-    else:
-        baseline = bench_reference_style(model, diffusion, params) / n_chips
+            baseline_info = json.load(f)
+        if "reference_torch_cpu_images_per_sec" not in baseline_info:
+            baseline_info = None  # old cache format: re-measure
+    if baseline_info is None:
+        per_batch = {str(b): bench_reference_style(model, diffusion, params, b)
+                     / n_chips for b in REF_BATCHES}
+        try:
+            torch_cpu = bench_reference_torch_cpu()
+        except Exception as e:  # reference not importable — keep benching
+            print(f"# reference torch CPU baseline unavailable: {e}")
+            torch_cpu = None
+        baseline_info = {
+            "reference_torch_cpu_images_per_sec": torch_cpu,
+            "reference_torch_cpu_note": "the actual reference implementation "
+                "(/root/reference PyTorch), T=1000, batch 16, CPU — the only "
+                "hardware it can run on in this image",
+            "reference_style_images_per_sec_per_chip": max(per_batch.values()),
+            "per_batch": per_batch,
+            "note": "reference algorithm structure (Python loop, 2 UNet calls/step,"
+                    " host sync/step) on the same chip with our JAX model, T=1000, "
+                    f"best over batches {list(REF_BATCHES)}",
+            "device": str(jax.devices()[0]),
+        }
         with open(BASELINE_FILE, "w") as f:
-            json.dump(
-                {
-                    "reference_style_images_per_sec_per_chip": baseline,
-                    "note": "reference algorithm structure (Python loop, 2 UNet "
-                            "calls/step, host sync/step) on the same chip, T=1000, "
-                            f"batch {BATCH}",
-                    "device": str(jax.devices()[0]),
-                },
-                f, indent=2,
-            )
+            json.dump(baseline_info, f, indent=2)
+    ref_style = baseline_info["reference_style_images_per_sec_per_chip"]
+    torch_cpu = baseline_info.get("reference_torch_cpu_images_per_sec")
 
-    print(json.dumps({
+    out = {
         "metric": "CIFAR-10 sampled images/sec/chip (1000-step DDPM, CFG)",
         "value": round(imgs_per_sec, 3),
         "unit": "images/sec/chip",
-        "vs_baseline": round(imgs_per_sec / baseline, 2),
+        # north-star comparison (BASELINE.json): vs the reference implementation
+        # on the hardware it can run on here (CPU; no CUDA device exists)
+        "vs_baseline": round(imgs_per_sec / torch_cpu, 2) if torch_cpu else None,
+        # strictest ratio: same chip, same optimized model, reference loop design
+        "vs_reference_style_same_chip": round(imgs_per_sec / ref_style, 2),
         "train_steps_per_sec": round(steps_per_sec, 3),
-        "batch": BATCH,
+        "batch": best_batch,
+        "per_batch": {str(b): round(v, 3) for b, v in ours.items()},
         "n_chips": n_chips,
         "device": str(jax.devices()[0]),
-    }))
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -27,7 +27,7 @@ Layout::
       diffusion/      schedules + the DDPM process (pure functions, lax.scan sampler)
       models/         UNet, Autoencoder (VAE), ResNet classifier, latent wrapper (flax)
       training/       TrainState (params+opt+EMA+PRNG), trainers, early stopping,
-                      checkpointing (orbax)
+                      atomic msgpack checkpointing
       data/           MNIST/CIFAR-10 readers, transforms, host-sharded batch iterator
       parallel/       device mesh + sharding helpers (DP over ICI)
       ops/            Pallas TPU kernels and their jnp fallbacks

@@ -204,15 +204,21 @@ class DiffusionTrainer:
         return len(batch["label"]) % global_batch_multiple(self.mesh) == 0
 
     def _train_epoch(self, epoch: int) -> float:
+        from ldm_tpu.utils.profiling import Throughput
+
         losses = []
+        tput = Throughput()
         for batch in self.train_loader:
             if not self._divisible(batch):
                 continue
+            n = len(batch["label"])
             batch = shard_batch(self.mesh, batch)
             self.state, m = self._train_step(self.state, batch)
             losses.append(m["loss"])  # device scalar; no per-step host sync
+            tput.update(n)
         if not losses:
             raise ValueError("train loader yielded no (mesh-divisible) batches")
+        self._last_rates = tput.rates()
         return float(np.mean(jax.device_get(losses)))
 
     def _val_epoch(self, epoch: int) -> float:
@@ -244,6 +250,8 @@ class DiffusionTrainer:
                     "diffusion_model train_loss": train_loss,
                     "diffusion_model val_loss": val_loss,
                     "epoch": epoch,
+                    **{k: round(v, 3)
+                       for k, v in getattr(self, "_last_rates", {}).items()},
                 },
                 step=epoch,
             )

@@ -1,0 +1,128 @@
+"""Fused linear-attention block op: Pallas kernel vs XLA reference, gradients,
+and module wiring (ldm_tpu/ops/linear_attention.py, models/unet.py LinAttnBlock)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ldm_tpu.ops.linear_attention import (
+    linear_attention_block,
+    linear_attention_block_pallas,
+    linear_attention_block_xla,
+)
+
+HEADS, DIM_HEAD = 4, 32
+HIDDEN = HEADS * DIM_HEAD
+
+
+def make_inputs(b=2, n=64, c=16, seed=0):
+    ks = jax.random.split(jax.random.key(seed), 8)
+    x = jax.random.normal(ks[0], (b, n, c), jnp.float32)
+    wqkv = jax.random.normal(ks[1], (c, 3 * HIDDEN), jnp.float32) * 0.1
+    wout = jax.random.normal(ks[2], (HIDDEN, c), jnp.float32) * 0.1
+    bout = jax.random.normal(ks[3], (c,), jnp.float32) * 0.1
+    g1s = 1.0 + 0.1 * jax.random.normal(ks[4], (c,), jnp.float32)
+    g1b = 0.1 * jax.random.normal(ks[5], (c,), jnp.float32)
+    g2s = 1.0 + 0.1 * jax.random.normal(ks[6], (c,), jnp.float32)
+    g2b = 0.1 * jax.random.normal(ks[7], (c,), jnp.float32)
+    return x, wqkv, wout, bout, g1s, g1b, g2s, g2b
+
+
+def test_pallas_interpret_matches_xla():
+    args = make_inputs()
+    want = linear_attention_block_xla(*args, heads=HEADS, dim_head=DIM_HEAD)
+    got = linear_attention_block_pallas(
+        *args, heads=HEADS, dim_head=DIM_HEAD, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_pallas_interpret_matches_xla_bf16():
+    args = make_inputs(b=1, n=16, c=8, seed=3)
+    want = linear_attention_block_xla(
+        *args, heads=HEADS, dim_head=DIM_HEAD, compute_dtype=jnp.bfloat16
+    )
+    got = linear_attention_block_pallas(
+        *args, heads=HEADS, dim_head=DIM_HEAD, compute_dtype=jnp.bfloat16,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-2)
+
+
+def test_custom_vjp_grads_match_xla():
+    """The op's gradients (custom VJP through the XLA impl) must equal plain
+    jax.grad of the XLA impl."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    args = make_inputs(b=1, n=32, c=8, seed=1)
+
+    def loss_op(*a):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(
+                linear_attention_block(*a, HEADS, DIM_HEAD, 1e-5, jnp.float32) ** 2
+            )
+
+    def loss_xla(*a):
+        return jnp.sum(
+            linear_attention_block_xla(*a, heads=HEADS, dim_head=DIM_HEAD) ** 2
+        )
+
+    g_op = jax.grad(loss_op, argnums=tuple(range(8)))(*args)
+    g_xla = jax.grad(loss_xla, argnums=tuple(range(8)))(*args)
+    for a, b in zip(g_op, g_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_linattnblock_module_matches_naive_composition():
+    """LinAttnBlock(xla) == Residual(PreNorm(LinearAttention)) with identical
+    weights (the reference composition, src/UNet.py:14-20,102-110,139-164)."""
+    from ldm_tpu.models.unet import LinAttnBlock, LinearAttention, PreNormResidual
+
+    b, hh, ww, c = 2, 8, 8, 16
+    x = jax.random.normal(jax.random.key(0), (b, hh, ww, c))
+    block = LinAttnBlock(impl="xla")
+    params = block.init(jax.random.key(1), x)
+    got = block.apply(params, x)
+
+    old = PreNormResidual(LinearAttention())
+    p = params["params"]
+    old_params = {
+        "params": {
+            "GroupNorm_0": {"scale": p["norm_pre_scale"], "bias": p["norm_pre_bias"]},
+            "fn": {
+                "Dense_0": {"kernel": p["qkv_kernel"]},
+                "out_kernel": p["out_kernel"],
+                "out_bias": p["out_bias"],
+                "GroupNorm_0": {
+                    "scale": p["norm_post_scale"], "bias": p["norm_post_bias"],
+                },
+            },
+        }
+    }
+    want = old.apply(old_params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+@pytest.mark.slow
+def test_unet_forward_with_forced_pallas_interpret():
+    """The whole UNet runs with the Pallas attention path (interpret mode)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ldm_tpu.models.unet import UNet
+
+    model = UNet(in_channels=1, out_channels=1, channels=8,
+                 channel_multipliers=(1, 2), num_classes=10,
+                 attention_impl="pallas")
+    x = jnp.zeros((2, 16, 16, 1))
+    t = jnp.array([0, 5])
+    y = jnp.array([3, 7])
+    with pltpu.force_tpu_interpret_mode():
+        params = model.init(jax.random.key(0), x, t, y)
+        out = model.apply(params, x, t, y)
+    xla_model = UNet(in_channels=1, out_channels=1, channels=8,
+                     channel_multipliers=(1, 2), num_classes=10,
+                     attention_impl="xla")
+    want = xla_model.apply(params, x, t, y)
+    assert out.shape == x.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-5)

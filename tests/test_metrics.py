@@ -36,3 +36,15 @@ def test_f1_matches_sklearn():
         sklearn.f1_score(labels, preds, average="macro"),
         atol=1e-6,
     )
+
+
+def test_throughput_counters():
+    from ldm_tpu.utils.profiling import Throughput
+
+    t = Throughput(n_chips=2)
+    t.update(16)
+    t.update(16)
+    r = t.rates()
+    assert r["steps_per_sec"] > 0
+    # per-chip rate = steps/sec * batch / n_chips (same elapsed denominator)
+    assert abs(r["samples_per_sec_per_chip"] - r["steps_per_sec"] * 16 / 2) < 1e-6
