@@ -183,6 +183,14 @@ def main():
     imgs_per_sec = ours[best_batch]
     steps_per_sec = bench_train_step(model, diffusion, params)
 
+    # The reference's shipped configs use T=400 (config_files/*.yaml:11);
+    # BASELINE.md asks for both T values.  Throughput at the best batch:
+    from ldm_tpu.diffusion.ddpm import GaussianDiffusion
+
+    t400_imgs = bench_scan_sampler(
+        model, GaussianDiffusion(n_steps=400), params, best_batch
+    ) / n_chips
+
     baseline_info = None
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
@@ -224,6 +232,7 @@ def main():
         # strictest ratio: same chip, same optimized model, reference loop design
         "vs_reference_style_same_chip": round(imgs_per_sec / ref_style, 2),
         "train_steps_per_sec": round(steps_per_sec, 3),
+        "t400_images_per_sec_per_chip": round(t400_imgs, 3),
         "batch": best_batch,
         "per_batch": {str(b): round(v, 3) for b, v in ours.items()},
         "n_chips": n_chips,

@@ -174,7 +174,20 @@ class DiffusionTrainer:
                 cfg_scale=cfg_scale, null_label=model.num_classes,
             )
 
-        return jax.jit(_sample, static_argnames=("cfg_scale",))
+        if self.mesh is None:
+            return jax.jit(_sample, static_argnames=("cfg_scale",))
+        # DP generation: classes sharded on the data axis, params/key replicated —
+        # the whole T-step scan then runs batch-parallel across the mesh with no
+        # collectives on the step path (each chip samples its shard of the batch).
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = replicated(self.mesh)
+        cls_sh = NamedSharding(self.mesh, P("data"))
+        return jax.jit(
+            _sample,
+            static_argnames=("cfg_scale",),
+            in_shardings=(rep, NamedSharding(self.mesh, P()), cls_sh),
+        )
 
     # ----------------------------------------------------------- persistence
     def _save_best(self, state: TrainState) -> None:
@@ -282,7 +295,17 @@ class DiffusionTrainer:
             self.state.key, 0x5A7712  # fixed salt: sampling stream ≠ training stream
         )
         params = self.state.ema_params if use_ema else self.state.params
+        classes = np.asarray(classes, np.int32)
+        n = len(classes)
+        # a mesh-sharded sampler needs the batch divisible across the data axis —
+        # pad with class 0 and trim (the pad images are discarded)
+        from ldm_tpu.parallel.mesh import global_batch_multiple
+
+        mult = global_batch_multiple(self.mesh)
+        pad = (-n) % mult
+        if pad:
+            classes = np.concatenate([classes, np.zeros((pad,), np.int32)])
         x0 = self._sampler(
-            params, key, jnp.asarray(classes, jnp.int32), float(cfg_scale)
+            params, key, jnp.asarray(classes), float(cfg_scale)
         )
-        return reverse_transform(jax.device_get(x0))
+        return reverse_transform(jax.device_get(x0)[:n])

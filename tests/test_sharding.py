@@ -87,3 +87,43 @@ def test_diffusion_trainer_on_mesh(tmp_path):
     )
     hist = tr.train()
     assert np.isfinite(hist["train_loss"][0])
+
+
+@pytest.mark.slow
+def test_sampler_sharded_over_mesh_matches_unsharded(tmp_path):
+    """DP generation: the lax.scan sampler with classes sharded on the data axis
+    must produce the same images as the single-device sampler (same PRNG key)."""
+    from ldm_tpu.config import Config, DataConfig, DiffusionConfig, ModelConfig
+    from ldm_tpu.data.datasets import synthetic_dataset
+    from ldm_tpu.data.loader import DataLoader
+    from ldm_tpu.factory import build_diffusion, build_model
+    from ldm_tpu.training.diffusion_trainer import DiffusionTrainer
+
+    def make_trainer(mesh, workdir):
+        cfg = Config(
+            project_name="shsample", workdir=workdir, epochs=1, batch_size=16,
+            use_amp=False, seed=0,
+            model=ModelConfig(params=dict(
+                in_channels=1, out_channels=1, channels=8,
+                channel_multipliers=[1], num_classes=10,
+            )),
+            diffusion=DiffusionConfig(n_steps=4),
+            data=DataConfig(dataset="SYNTHETIC", image_size=8, image_channels=1),
+        )
+        ds = synthetic_dataset(32, 8, 1, seed=0)
+        return DiffusionTrainer(
+            cfg, build_model(cfg), build_diffusion(cfg),
+            DataLoader(ds, 16, seed=0), DataLoader(ds, 16, seed=1),
+            classes=list(range(10)), mesh=mesh,
+        )
+
+    key = jax.random.key(7)
+    # 10 classes on an 8-device mesh: exercises the pad-and-trim path too
+    classes = list(range(10))
+    single = make_trainer(None, str(tmp_path / "a"))
+    imgs_single = single.sample(classes, cfg_scale=3.0, key=key)
+    meshed = make_trainer(create_mesh(), str(tmp_path / "b"))
+    # identical init (same seed) => identical params
+    imgs_mesh = meshed.sample(classes, cfg_scale=3.0, key=key)
+    assert imgs_mesh.shape == imgs_single.shape == (10, 8, 8, 1)
+    np.testing.assert_array_equal(imgs_mesh, imgs_single)
