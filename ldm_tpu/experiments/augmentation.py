@@ -53,6 +53,12 @@ EXPERIMENTS: List[Tuple[str, float, float]] = [
 class AugmentationResult:
     test_f1: Dict[str, float]
     synthetic_size: int
+    # sample-quality metrics (BASELINE.json north star: "matching FID").  Canonical
+    # Inception-FID needs pretrained weights unavailable offline; these are the two
+    # offline proxies from ldm_tpu.ops.fid (pixel features / trained-classifier
+    # features), computed synthetic-vs-real on the classifier half.
+    fid_pixel: Optional[float] = None
+    fid_classifier: Optional[float] = None
 
 
 def _mix(real: Dataset, synth: Dataset, fr: float, fs: float, seed: int) -> Dataset:
@@ -157,6 +163,14 @@ def run_augmentation_experiment(
         classes=classes,
     )
 
+    # ---- sample quality: pixel-feature FID, synthetic vs the real half ------
+    from ldm_tpu.ops.fid import fid_from_features, pixel_fid
+
+    n_fid = min(len(clf_tr), len(synth), 2048)
+    fid_pixel = pixel_fid(clf_tr.images[:n_fid], synth.images[:n_fid])
+    logger.log({"fid_pixel_synth_vs_real": fid_pixel}, step=0)
+    fid_classifier = None
+
     # ---- exp1..exp5: classifier on real/synthetic mixes ---------------------
     clf_cfg = dataclasses.replace(
         config,
@@ -188,5 +202,17 @@ def run_augmentation_experiment(
         results[name] = stats["f1_micro"]
         logger.log({f"{name} test_f1": stats["f1_micro"],
                     f"{name} test_f1_macro": stats["f1_macro"]}, step=0)
+        if name == "exp1":
+            # classifier-feature FID: the exp1 (100% real) classifier's
+            # penultimate embeddings are the strongest offline feature space
+            from ldm_tpu.data.transforms import scale_to_minus_one_one
 
-    return AugmentationResult(test_f1=results, synthetic_size=len(synth))
+            f_real = rt.features(scale_to_minus_one_one(clf_tr.images[:n_fid]))
+            f_fake = rt.features(scale_to_minus_one_one(synth.images[:n_fid]))
+            fid_classifier = fid_from_features(f_real, f_fake)
+            logger.log({"fid_classifier_synth_vs_real": fid_classifier}, step=0)
+
+    return AugmentationResult(
+        test_f1=results, synthetic_size=len(synth),
+        fid_pixel=fid_pixel, fid_classifier=fid_classifier,
+    )

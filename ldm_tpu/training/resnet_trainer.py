@@ -147,6 +147,28 @@ class ResNetTrainer:
             params={"params": loaded["params"]}, batch_stats=loaded["batch_stats"]
         )
 
+    # ------------------------------------------------------------- embeddings
+    def features(self, images_m11: np.ndarray, batch_size: int = 256) -> np.ndarray:
+        """Penultimate pooled embeddings of the trained classifier — the feature
+        space for FID (ops.fid.classifier_fid).  ``images_m11``: float NHWC in
+        [-1, 1]."""
+        fn = jax.jit(
+            lambda v, x: self.model.apply(v, x, train=False, features=True)
+        )
+        variables = {
+            "params": self.state.params["params"],
+            "batch_stats": self.state.batch_stats,
+        }
+        n = len(images_m11)
+        pad = (-n) % batch_size  # one compile: pad the tail batch, trim after
+        if pad:
+            images_m11 = np.concatenate([images_m11, images_m11[:pad]])
+        outs = [
+            np.asarray(fn(variables, jnp.asarray(images_m11[i : i + batch_size])))
+            for i in range(0, len(images_m11), batch_size)
+        ]
+        return np.concatenate(outs)[:n]
+
     # ------------------------------------------------------------------ run
     def run(self, mode: str, dataloader=None) -> Dict[str, float]:
         """One pass over a loader (reference ``run``, src/ResNetTrainer.py:86-169).
