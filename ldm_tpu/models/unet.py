@@ -62,7 +62,8 @@ class TimeEmbedding(nn.Module):
     def __call__(self, t: Array) -> Array:
         x = SinusoidalPosEmb(self.n_channels // 4, dtype=self.dtype)(t)
         x = nn.Dense(self.n_channels, dtype=self.dtype)(x)
-        x = nn.gelu(x)
+        # exact (erf) GELU — torch nn.GELU's default, reference src/UNet.py:266
+        x = nn.gelu(x, approximate=False)
         return nn.Dense(self.n_channels, dtype=self.dtype)(x)
 
 

@@ -1,0 +1,218 @@
+"""Golden-value parity tests against the ACTUAL reference implementation.
+
+The reference PyTorch code is imported from /root/reference (executed for
+comparison — never copied) and driven with the SAME weights as our flax modules:
+torch weights are generated, mapped into the flax parameter layout (OIHW -> HWIO
+convs, transposed linears, NCHW -> NHWC activations), and outputs are compared
+numerically.  This pins down "bit-for-intent" parity (SURVEY.md §7) far harder
+than shape tests.
+
+Intentional deviations (PARITY.md) are NOT tested here — the bottleneck time-
+embedding fix (#6) and the classifier logits change (#8) make whole-model equality
+impossible by design; parity is proven block by block instead.
+"""
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+sys.path.insert(0, "/root/reference")
+ref_unet = pytest.importorskip("src.UNet")
+ref_ddpm = pytest.importorskip("src.DDPM")
+
+from ldm_tpu.models import unet as our_unet  # noqa: E402
+from ldm_tpu.diffusion.ddpm import GaussianDiffusion  # noqa: E402
+
+ATOL = 2e-5
+
+
+def t2n(t):
+    return t.detach().cpu().numpy()
+
+
+def nchw_to_nhwc(x):
+    return np.transpose(x, (0, 2, 3, 1))
+
+
+def conv_kernel(tw):
+    """torch Conv2d weight (O, I, kh, kw) -> flax (kh, kw, I, O)."""
+    return np.transpose(t2n(tw), (2, 3, 1, 0))
+
+
+def linear_kernel(tw):
+    """torch Linear weight (O, I) -> flax (I, O)."""
+    return t2n(tw).T
+
+
+def rand_nchw(*shape, seed=0):
+    g = torch.Generator().manual_seed(seed)
+    return torch.randn(*shape, generator=g)
+
+
+# --------------------------------------------------------------------- blocks
+def test_sinusoidal_pos_emb_matches():
+    dim = 16
+    t = torch.tensor([0.0, 1.0, 7.0, 399.0])
+    want = t2n(ref_unet.SinusoidalPosEmb(dim)(t))
+    got = our_unet.SinusoidalPosEmb(dim).apply({}, jnp.asarray(t2n(t)))
+    np.testing.assert_allclose(np.asarray(got), want, atol=ATOL)
+
+
+def test_time_embedding_matches():
+    n_channels = 32
+    ref = ref_unet.TimeEmbedding(n_channels)
+    t = torch.tensor([0.0, 3.0, 250.0])
+    want = t2n(ref(t))
+    lin1, lin2 = ref.time_mlp[1], ref.time_mlp[3]
+    params = {"params": {
+        "Dense_0": {"kernel": linear_kernel(lin1.weight),
+                    "bias": t2n(lin1.bias)},
+        "Dense_1": {"kernel": linear_kernel(lin2.weight),
+                    "bias": t2n(lin2.bias)},
+    }}
+    got = our_unet.TimeEmbedding(n_channels).apply(params, jnp.asarray(t2n(t)))
+    np.testing.assert_allclose(np.asarray(got), want, atol=ATOL)
+
+
+def test_conv_block_matches():
+    """Block = GroupNorm -> SiLU -> 3x3 conv (reference src/UNet.py:47-58)."""
+    dim, dim_out = 16, 24
+    ref = ref_unet.Block(dim, dim_out)
+    x = rand_nchw(2, dim, 8, 8)
+    want = nchw_to_nhwc(t2n(ref(x)))
+    params = {"params": {
+        "GroupNorm_0": {"scale": t2n(ref.norm.weight), "bias": t2n(ref.norm.bias)},
+        "Conv_0": {"kernel": conv_kernel(ref.conv2d.weight),
+                   "bias": t2n(ref.conv2d.bias)},
+    }}
+    got = our_unet.Block(dim_out).apply(params, jnp.asarray(nchw_to_nhwc(t2n(x))))
+    np.testing.assert_allclose(np.asarray(got), want, atol=ATOL)
+
+
+def test_resnet_block_with_time_matches():
+    """ResNetBlock: two Blocks + time-MLP injection + 1x1 shortcut
+    (reference src/UNet.py:61-99)."""
+    dim, dim_out, d_time = 16, 24, 12
+    ref = ref_unet.ResNetBlock(dim, dim_out, time_emb_dim=d_time)
+    x = rand_nchw(2, dim, 8, 8)
+    temb = rand_nchw(2, d_time, seed=1)
+    want = nchw_to_nhwc(t2n(ref(x, temb)))
+    mlp_lin = ref.mlp_t[1]
+
+    def block_params(b):
+        return {
+            "GroupNorm_0": {"scale": t2n(b.norm.weight), "bias": t2n(b.norm.bias)},
+            "Conv_0": {"kernel": conv_kernel(b.conv2d.weight),
+                       "bias": t2n(b.conv2d.bias)},
+        }
+
+    params = {"params": {
+        "Block_0": block_params(ref.block1),
+        "Block_1": block_params(ref.block2),
+        "Dense_0": {"kernel": linear_kernel(mlp_lin.weight),
+                    "bias": t2n(mlp_lin.bias)},
+        "Conv_0": {"kernel": conv_kernel(ref.shortcut.weight),
+                   "bias": t2n(ref.shortcut.bias)},
+    }}
+    got = our_unet.ResNetBlock(dim_out).apply(
+        params, jnp.asarray(nchw_to_nhwc(t2n(x))), jnp.asarray(t2n(temb))
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=ATOL)
+
+
+def _lin_attn_block_params(ref_wrapped):
+    """Map torch Residual(PreNorm(LinearAttention)) weights -> our LinAttnBlock."""
+    prenorm = ref_wrapped.fn            # PreNorm
+    attn = prenorm.fn                   # LinearAttention
+    out_conv, out_gn = attn.to_out[0], attn.to_out[1]
+    return {"params": {
+        "norm_pre_scale": t2n(prenorm.norm.weight),
+        "norm_pre_bias": t2n(prenorm.norm.bias),
+        # 1x1 conv (O, I, 1, 1) -> dense (I, O)
+        "qkv_kernel": t2n(attn.to_qkv.weight)[:, :, 0, 0].T,
+        "out_kernel": t2n(out_conv.weight)[:, :, 0, 0].T,
+        "out_bias": t2n(out_conv.bias),
+        "norm_post_scale": t2n(out_gn.weight),
+        "norm_post_bias": t2n(out_gn.bias),
+    }}
+
+
+def test_linear_attention_block_matches():
+    """Residual(PreNorm(LinearAttention)) (reference src/UNet.py:139-164 wrapped
+    per src/UNet.py:14-20,102-110) == our fused LinAttnBlock, same weights."""
+    dim = 16
+    ref = ref_unet.Residual(ref_unet.PreNorm(dim, ref_unet.LinearAttention(dim)))
+    x = rand_nchw(2, dim, 8, 8)
+    want = nchw_to_nhwc(t2n(ref(x)))
+    got = our_unet.LinAttnBlock(impl="xla").apply(
+        _lin_attn_block_params(ref), jnp.asarray(nchw_to_nhwc(t2n(x)))
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=ATOL)
+
+
+def test_full_attention_matches():
+    """Bottleneck softmax Attention (reference src/UNet.py:113-136)."""
+    dim = 16
+    ref = ref_unet.Attention(dim)
+    x = rand_nchw(2, dim, 4, 4)
+    want = nchw_to_nhwc(t2n(ref(x)))
+    params = {"params": {
+        "Dense_0": {"kernel": t2n(ref.to_qkv.weight)[:, :, 0, 0].T},
+        "Dense_1": {"kernel": t2n(ref.to_out.weight)[:, :, 0, 0].T,
+                    "bias": t2n(ref.to_out.bias)},
+    }}
+    got = our_unet.Attention().apply(params, jnp.asarray(nchw_to_nhwc(t2n(x))))
+    np.testing.assert_allclose(np.asarray(got), want, atol=ATOL)
+
+
+# ------------------------------------------------------------------ DDPM math
+def test_q_sample_matches_reference():
+    T = 50
+    ref = ref_ddpm.Diffusion(n_steps=T, device=torch.device("cpu"))
+    ours = GaussianDiffusion(n_steps=T)
+    x0 = rand_nchw(4, 3, 8, 8)
+    eps = rand_nchw(4, 3, 8, 8, seed=1)
+    t = torch.tensor([0, 10, 25, 49])
+    want = nchw_to_nhwc(t2n(ref.q_sample(x0, t, eps=eps)))
+    got = ours.q_sample(
+        jnp.asarray(nchw_to_nhwc(t2n(x0))), jnp.asarray(t2n(t)),
+        jnp.asarray(nchw_to_nhwc(t2n(eps))),
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=ATOL)
+
+
+def test_p_sample_mean_matches_reference():
+    """p_sample with the fresh-noise term zeroed: compare the posterior mean path
+    (the reference draws noise internally, src/DDPM.py:71-96, so equality is
+    checked at t=0 where it adds none, and via the t>0 mean by subtracting the
+    known sigma*z term is not possible — instead check t=0 exactly)."""
+    T = 50
+    ref = ref_ddpm.Diffusion(n_steps=T, device=torch.device("cpu"))
+    ours = GaussianDiffusion(n_steps=T)
+    xt = rand_nchw(4, 3, 8, 8)
+    eps_theta = rand_nchw(4, 3, 8, 8, seed=2)
+    t0 = torch.tensor([0, 0, 0, 0])
+    want = nchw_to_nhwc(t2n(ref.p_sample(xt, t0, eps_theta)))
+    got = ours.p_sample(
+        jnp.asarray(nchw_to_nhwc(t2n(xt))), jnp.asarray(t2n(t0)),
+        jnp.asarray(nchw_to_nhwc(t2n(eps_theta))),
+        jnp.zeros((4, 8, 8, 3), jnp.float32),
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=ATOL)
+
+
+def test_schedule_constants_match_reference():
+    T = 400
+    ref = ref_ddpm.Diffusion(n_steps=T, device=torch.device("cpu"))
+    ours = GaussianDiffusion(n_steps=T)
+    np.testing.assert_allclose(np.asarray(ours.schedule.betas), t2n(ref.beta),
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(ours.schedule.alpha_bars),
+                               t2n(ref.alpha_bar), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ours.schedule.sigma2), t2n(ref.sigma2),
+                               atol=1e-7)
