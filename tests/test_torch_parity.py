@@ -216,3 +216,131 @@ def test_schedule_constants_match_reference():
                                t2n(ref.alpha_bar), atol=1e-6)
     np.testing.assert_allclose(np.asarray(ours.schedule.sigma2), t2n(ref.sigma2),
                                atol=1e-7)
+
+
+# ---------------------------------------------------------------- Autoencoder
+ref_ae = pytest.importorskip("src.Autoencoder")
+from ldm_tpu.models import autoencoder as our_ae  # noqa: E402
+
+
+def test_vae_resnet_block_matches():
+    """VAE ResnetBlock: norm-swish-conv x2 + nin shortcut, GroupNorm(32, 1e-6)
+    (reference src/Autoencoder.py:46-84)."""
+    cin, cout = 32, 64
+    ref = ref_ae.ResnetBlock(cin, cout)
+    x = rand_nchw(2, cin, 8, 8)
+    want = nchw_to_nhwc(t2n(ref(x)))
+    params = {"params": {
+        "GroupNorm_0": {"scale": t2n(ref.norm1.weight), "bias": t2n(ref.norm1.bias)},
+        "Conv_0": {"kernel": conv_kernel(ref.conv1.weight), "bias": t2n(ref.conv1.bias)},
+        "GroupNorm_1": {"scale": t2n(ref.norm2.weight), "bias": t2n(ref.norm2.bias)},
+        "Conv_1": {"kernel": conv_kernel(ref.conv2.weight), "bias": t2n(ref.conv2.bias)},
+        "Conv_2": {"kernel": conv_kernel(ref.nin_shortcut.weight),
+                   "bias": t2n(ref.nin_shortcut.bias)},
+    }}
+    got = our_ae.ResnetBlock(cout).apply(params, jnp.asarray(nchw_to_nhwc(t2n(x))))
+    np.testing.assert_allclose(np.asarray(got), want, atol=ATOL)
+
+
+def test_vae_attn_block_matches():
+    """VAE single-head attention block (reference src/Autoencoder.py:87-139)."""
+    c = 32
+    ref = ref_ae.AttnBlock(c)
+    x = rand_nchw(2, c, 4, 4)
+    want = nchw_to_nhwc(t2n(ref(x)))
+
+    def dense(conv):  # 1x1 conv -> dense
+        return {"kernel": t2n(conv.weight)[:, :, 0, 0].T, "bias": t2n(conv.bias)}
+
+    params = {"params": {
+        "GroupNorm_0": {"scale": t2n(ref.norm.weight), "bias": t2n(ref.norm.bias)},
+        "Dense_0": dense(ref.q), "Dense_1": dense(ref.k), "Dense_2": dense(ref.v),
+        "Dense_3": dense(ref.proj_out),
+    }}
+    got = our_ae.AttnBlock().apply(params, jnp.asarray(nchw_to_nhwc(t2n(x))))
+    np.testing.assert_allclose(np.asarray(got), want, atol=ATOL)
+
+
+def test_vae_downsample_asymmetric_padding_matches():
+    """Stride-2 conv with (0,1,0,1) zero pad (reference src/Autoencoder.py:160-180)."""
+    c = 8
+    ref = ref_ae.DownSample(c)
+    x = rand_nchw(2, c, 9, 9)  # odd size exercises the asymmetric pad
+    want = nchw_to_nhwc(t2n(ref(x)))
+    params = {"params": {"Conv_0": {
+        "kernel": conv_kernel(ref.conv.weight), "bias": t2n(ref.conv.bias)}}}
+    got = our_ae.DownSample(c).apply(params, jnp.asarray(nchw_to_nhwc(t2n(x))))
+    np.testing.assert_allclose(np.asarray(got), want, atol=ATOL)
+
+
+def test_vae_upsample_matches():
+    """Nearest 2x + 3x3 conv (reference src/Autoencoder.py:142-157)."""
+    c = 8
+    ref = ref_ae.UpSample(c)
+    x = rand_nchw(2, c, 5, 5)
+    want = nchw_to_nhwc(t2n(ref(x)))
+    params = {"params": {"Conv_0": {
+        "kernel": conv_kernel(ref.conv.weight), "bias": t2n(ref.conv.bias)}}}
+    got = our_ae.UpSample(c).apply(params, jnp.asarray(nchw_to_nhwc(t2n(x))))
+    np.testing.assert_allclose(np.asarray(got), want, atol=ATOL)
+
+
+def test_gaussian_distribution_moments_match():
+    """mu / sigma from the moments tensor (reference src/Autoencoder.py:21-43)."""
+    moments = rand_nchw(2, 8, 4, 4)
+    ref = ref_ae.GaussianDistribution(moments)
+    mu, log_var = our_ae.Autoencoder.moments_split(
+        jnp.asarray(nchw_to_nhwc(t2n(moments)))
+    )
+    np.testing.assert_allclose(np.asarray(mu), nchw_to_nhwc(t2n(ref.mu)), atol=ATOL)
+    np.testing.assert_allclose(
+        np.asarray(jnp.exp(0.5 * log_var)), nchw_to_nhwc(t2n(ref.sigma)), atol=ATOL
+    )
+
+
+# ------------------------------------------------------------ ResNet classifier
+ref_rn = pytest.importorskip("src.ResNetClassifier")
+from ldm_tpu.models import resnet as our_rn  # noqa: E402
+
+
+def _bn(torch_bn):
+    return (
+        {"scale": t2n(torch_bn.weight), "bias": t2n(torch_bn.bias)},
+        {"mean": t2n(torch_bn.running_mean), "var": t2n(torch_bn.running_var)},
+    )
+
+
+def test_classifier_residual_block_matches_eval():
+    """conv-BN-ReLU-conv-BN + ShortcutProjection, eval mode (running stats)
+    (reference src/ResNetClassifier.py:16-73)."""
+    cin, cout, stride = 8, 16, 2
+    ref = ref_rn.ResidualBlock(cin, cout, stride).eval()
+    # make running stats non-trivial
+    with torch.no_grad():
+        for bn in (ref.bn1, ref.bn2, ref.shortcut.bn):
+            bn.running_mean.uniform_(-0.5, 0.5)
+            bn.running_var.uniform_(0.5, 1.5)
+    x = rand_nchw(2, cin, 8, 8)
+    with torch.no_grad():
+        want = nchw_to_nhwc(t2n(ref(x)))
+    bn0p, bn0s = _bn(ref.shortcut.bn)
+    bn1p, bn1s = _bn(ref.bn1)
+    bn2p, bn2s = _bn(ref.bn2)
+    variables = {
+        "params": {
+            "Conv_0": {"kernel": conv_kernel(ref.shortcut.conv.weight),
+                       "bias": t2n(ref.shortcut.conv.bias)},
+            "BatchNorm_0": bn0p,
+            "Conv_1": {"kernel": conv_kernel(ref.conv1.weight)},
+            "BatchNorm_1": bn1p,
+            "Conv_2": {"kernel": conv_kernel(ref.conv2.weight)},
+            "BatchNorm_2": bn2p,
+        },
+        "batch_stats": {
+            "BatchNorm_0": bn0s, "BatchNorm_1": bn1s, "BatchNorm_2": bn2s,
+        },
+    }
+    got = our_rn.ResidualBlock(cout, stride=stride).apply(
+        variables, jnp.asarray(nchw_to_nhwc(t2n(x))), train=False
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=ATOL)
