@@ -109,22 +109,23 @@ def bench_reference_style(model, diffusion, params, batch: int,
 
 
 def bench_train_step(model, diffusion, params) -> float:
-    """UNet train steps/sec (secondary metric), batch 64 like the reference."""
+    """UNet train steps/sec (secondary metric), batch 64 like the reference.
+
+    Measured as a lax.scan over steps — the framework's actual stepping mode
+    (DiffusionTrainer runs whole epochs as one scan over a device-resident
+    dataset), so per-dispatch latency doesn't pollute the number."""
     from ldm_tpu.training.state import TrainState, make_optimizer
 
     state = TrainState.create(params, make_optimizer(5e-4), jax.random.key(1))
-    batch = {
-        "image": jnp.zeros((64, 32, 32, 3), jnp.float32),
-        "label": jnp.zeros((64,), jnp.int32),
-    }
+    images = jnp.zeros((64, 32, 32, 3), jnp.float32)
+    labels = jnp.zeros((64,), jnp.int32)
+    n = 50
 
-    @jax.jit
-    def train_step(state, batch):
+    def step(state, _):
         key = state.step_key()
         k_noise, k_drop = jax.random.split(key)
-        eps, xt, t = diffusion.noise_batch(k_noise, batch["image"])
-        y = jnp.where(jax.random.bernoulli(k_drop, 0.1),
-                      jnp.int32(10), batch["label"])
+        eps, xt, t = diffusion.noise_batch(k_noise, images)
+        y = jnp.where(jax.random.bernoulli(k_drop, 0.1), jnp.int32(10), labels)
 
         def loss_fn(p):
             return jnp.mean((eps - model.apply(p, xt, t, y)) ** 2)
@@ -132,13 +133,15 @@ def bench_train_step(model, diffusion, params) -> float:
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         return state.apply_gradients(grads), loss
 
-    state, loss = train_step(state, batch)
-    loss.block_until_ready()
-    n = 20
+    @jax.jit
+    def run(state):
+        return jax.lax.scan(step, state, None, length=n)
+
+    state, losses = run(state)
+    np.asarray(losses)
     t0 = time.perf_counter()
-    for _ in range(n):
-        state, loss = train_step(state, batch)
-    float(loss)
+    state, losses = run(state)
+    np.asarray(losses)
     return n / (time.perf_counter() - t0)
 
 

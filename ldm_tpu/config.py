@@ -93,6 +93,10 @@ class Config:
     seed: int = 42
     workdir: str = "runs"
     ema_decay: float = 0.9999  # EMA is an addition over the reference (BASELINE.md)
+    # Run each training epoch as ONE on-device lax.scan over a device-resident
+    # dataset (shuffle, gather, noising, step — zero host round-trips per epoch)
+    # when the dataset fits in HBM. Falls back to per-batch stepping otherwise.
+    scan_epochs: bool = True
     model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
     diffusion: DiffusionConfig = dataclasses.field(default_factory=DiffusionConfig)
     data: DataConfig = dataclasses.field(default_factory=DataConfig)

@@ -32,7 +32,9 @@ import numpy as np
 
 from ldm_tpu.config import Config
 from ldm_tpu.diffusion.ddpm import GaussianDiffusion
-from ldm_tpu.parallel.mesh import data_sharding, replicated, shard_batch
+from ldm_tpu.parallel.mesh import (
+    data_sharding, global_batch_multiple, replicated, shard_batch,
+)
 from ldm_tpu.training import checkpoint as ckpt
 from ldm_tpu.training.early_stopping import EarlyStopping
 from ldm_tpu.training.state import TrainState, make_optimizer
@@ -85,6 +87,7 @@ class DiffusionTrainer:
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
         self._sampler = self._build_sampler()
+        self._setup_scan_epochs()
         self.early_stopping = EarlyStopping(
             patience=config.early_stopping_patience,
             verbose=True,
@@ -117,26 +120,88 @@ class DiffusionTrainer:
         the latent trainer overrides with the frozen-VAE encode."""
         return image
 
+    def _step_body(self, state: TrainState, batch) -> Tuple[TrainState, Array]:
+        """One optimization step: noising → CFG label drop → UNet fwd/bwd → Adam
+        → EMA, all fused into whichever jitted program calls it (the per-batch
+        step or the whole-epoch scan)."""
+        key = state.step_key()
+        k_noise, k_drop, k_enc = jax.random.split(key, 3)
+        x0 = self._encode(k_enc, batch["image"])
+        eps, xt, t = self.diffusion.noise_batch(k_noise, x0)
+        y = self._dropped_labels(k_drop, batch["label"])
+
+        def loss_fn(params):
+            eps_theta = self.model.apply(params, xt, t, y)
+            return jnp.mean((eps.astype(jnp.float32) - eps_theta) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads), loss
+
     def _build_train_step(self):
-        model, diffusion = self.model, self.diffusion
-
         def train_step(state: TrainState, batch) -> Tuple[TrainState, dict]:
-            key = state.step_key()
-            k_noise, k_drop, k_enc = jax.random.split(key, 3)
-            x0 = self._encode(k_enc, batch["image"])
-            eps, xt, t = diffusion.noise_batch(k_noise, x0)
-            y = self._dropped_labels(k_drop, batch["label"])
-
-            def loss_fn(params):
-                eps_theta = model.apply(params, xt, t, y)
-                return jnp.mean((eps.astype(jnp.float32) - eps_theta) ** 2)
-
-            loss, grads = jax.value_and_grad(loss_fn)(state.params)
-            state = state.apply_gradients(grads)
+            state, loss = self._step_body(state, batch)
             return state, {"loss": loss}
 
         train_step.__name__ = "_train_step"
         return self._jit(train_step, donate_state=True)
+
+    def _setup_scan_epochs(self) -> None:
+        """Epoch-as-lax.scan fast path: the dataset lives in HBM (uint8), each
+        epoch is ONE jitted program — on-device shuffle, per-step gather + [-1,1]
+        scaling, and n_batches optimization steps — with a single dispatch and no
+        host round-trips (the reference pays a host→device copy and a loss.item()
+        sync per batch, src/DiffusionModelTrainer.py:37,67)."""
+        from ldm_tpu.data.transforms import scale_to_minus_one_one
+
+        self._epoch_scan = None
+        loader = self.train_loader
+        ds = getattr(loader, "dataset", None)
+        if (
+            not getattr(self.config, "scan_epochs", True)
+            or ds is None
+            or getattr(loader, "transform", None) is not scale_to_minus_one_one
+            or not getattr(loader, "drop_last", False)
+        ):
+            return
+        b = loader.batch_size
+        n_batches = len(ds) // b
+        if n_batches == 0 or b % global_batch_multiple(self.mesh) != 0:
+            return
+        # images stay uint8 in HBM (4x smaller than fp32); replicated on a mesh so
+        # each chip gathers its own shard of every batch with zero collectives
+        imgs = jnp.asarray(ds.images)
+        labels = jnp.asarray(np.asarray(ds.labels, np.int32))
+        if self.mesh is not None:
+            rep = replicated(self.mesh)
+            imgs, labels = jax.device_put(imgs, rep), jax.device_put(labels, rep)
+        self._epoch_data = (imgs, labels)
+        self._epoch_batches = n_batches
+        shuffle = bool(getattr(loader, "shuffle", True))
+        mesh = self.mesh
+
+        def epoch_fn(state: TrainState, images, labels, epoch_key):
+            n = images.shape[0]
+            perm = (
+                jax.random.permutation(epoch_key, n) if shuffle else jnp.arange(n)
+            )
+            idx = perm[: n_batches * b].reshape(n_batches, b)
+
+            def step(state, ib):
+                img = images[ib].astype(jnp.float32) / 255.0 * 2.0 - 1.0
+                batch = {"image": img, "label": labels[ib]}
+                if mesh is not None:
+                    batch = jax.lax.with_sharding_constraint(
+                        batch, data_sharding(mesh)
+                    )
+                return self._step_body(state, batch)
+
+            return jax.lax.scan(step, state, idx)
+
+        kw = {"donate_argnums": (0,)}
+        if mesh is not None:
+            rep = replicated(mesh)
+            kw["in_shardings"] = (rep, rep, rep, rep)
+        self._epoch_scan = jax.jit(epoch_fn, **kw)
 
     def _build_eval_step(self):
         model, diffusion = self.model, self.diffusion
@@ -165,14 +230,20 @@ class DiffusionTrainer:
         eval_step.__name__ = "_eval_step"
         return self._jit(eval_step)
 
+    def _postprocess(self, x0: Array) -> Array:
+        """Map sampled diffusion-space tensors to image space — identity for pixel
+        DDPM; the latent trainer decodes through the frozen VAE."""
+        return x0
+
     def _build_sampler(self):
         model, diffusion = self.model, self.diffusion
 
         def _sample(params, key, classes, cfg_scale):
-            return diffusion.sample(
+            x0 = diffusion.sample(
                 model.apply, params, key, classes, self.image_shape,
                 cfg_scale=cfg_scale, null_label=model.num_classes,
             )
+            return self._postprocess(x0)
 
         if self.mesh is None:
             return jax.jit(_sample, static_argnames=("cfg_scale",))
@@ -219,8 +290,21 @@ class DiffusionTrainer:
     def _train_epoch(self, epoch: int) -> float:
         from ldm_tpu.utils.profiling import Throughput
 
-        losses = []
         tput = Throughput()
+        if self._epoch_scan is not None:
+            # one dispatch for the whole epoch (shuffle + all steps on device)
+            epoch_key = jax.random.fold_in(
+                jax.random.fold_in(self.state.key, 0xE70C), epoch
+            )
+            self.state, losses = self._epoch_scan(
+                self.state, *self._epoch_data, epoch_key
+            )
+            losses = jax.device_get(losses)
+            for _ in range(self._epoch_batches):
+                tput.update(self.train_loader.batch_size)
+            self._last_rates = tput.rates()
+            return float(np.mean(losses))
+        losses = []
         for batch in self.train_loader:
             if not self._divisible(batch):
                 continue

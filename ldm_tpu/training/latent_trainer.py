@@ -25,7 +25,6 @@ from ldm_tpu.config import Config
 from ldm_tpu.models.latent import LatentDiffusionModel
 from ldm_tpu.training.diffusion_trainer import DiffusionTrainer
 from ldm_tpu.utils.logging import MetricsLogger
-from ldm_tpu.data.transforms import reverse_transform
 
 Array = jax.Array
 
@@ -63,12 +62,7 @@ class LatentDiffusionTrainer(DiffusionTrainer):
         (reference src/LatentDiffusionModel.py:57-65)."""
         return self.ldm.autoencoder_encode(self.ae_params, key, image)
 
-    def sample(
-        self, classes, cfg_scale: float = 0.0, key=None, use_ema: bool = True
-    ) -> np.ndarray:
-        """Sample latents → decode → uint8 images."""
-        key = key if key is not None else jax.random.fold_in(self.state.key, 0x5A7713)
-        params = self.state.ema_params if use_ema else self.state.params
-        z0 = self._sampler(params, key, jnp.asarray(classes, jnp.int32), float(cfg_scale))
-        images = self.ldm.autoencoder_decode(self.ae_params, z0)
-        return reverse_transform(jax.device_get(images))
+    def _postprocess(self, z0: Array) -> Array:
+        """Decode sampled latents to images inside the same jitted program —
+        latents never leave HBM (BASELINE.json north star)."""
+        return self.ldm.autoencoder_decode(self.ae_params, z0)

@@ -123,3 +123,38 @@ def test_early_stopping_semantics():
     es(0.6, "s3")
     assert es.early_stop  # patience 2 exhausted
     assert saved == ["s0", "s1"]
+
+
+def test_scan_epochs_flag_gates_fast_path(tmp_path):
+    import dataclasses
+
+    from ldm_tpu.config import Config, DataConfig, DiffusionConfig, ModelConfig
+    from ldm_tpu.data.datasets import synthetic_dataset
+    from ldm_tpu.data.loader import DataLoader
+    from ldm_tpu.factory import build_diffusion, build_model
+    from ldm_tpu.training.diffusion_trainer import DiffusionTrainer
+
+    cfg = Config(
+        project_name="scanflag", workdir=str(tmp_path), epochs=1, batch_size=8,
+        use_amp=False, seed=0,
+        model=ModelConfig(params=dict(
+            in_channels=1, out_channels=1, channels=8,
+            channel_multipliers=[1], num_classes=10,
+        )),
+        diffusion=DiffusionConfig(n_steps=4),
+        data=DataConfig(dataset="SYNTHETIC", image_size=8, image_channels=1),
+    )
+    ds = synthetic_dataset(24, 8, 1, seed=0)
+
+    def make(cfg):
+        return DiffusionTrainer(
+            cfg, build_model(cfg), build_diffusion(cfg),
+            DataLoader(ds, 8, seed=0), DataLoader(ds, 8, seed=1),
+            classes=list(range(10)),
+        )
+
+    assert make(cfg)._epoch_scan is not None  # default: on
+    off = make(dataclasses.replace(cfg, scan_epochs=False))
+    assert off._epoch_scan is None
+    hist = off.train()  # the per-batch fallback path still trains
+    assert np.isfinite(hist["train_loss"][0])
