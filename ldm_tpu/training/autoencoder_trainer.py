@@ -83,6 +83,13 @@ class AutoencoderTrainer:
         )
         self._train_step = self._jit(self._make_step(train=True), donate_state=True)
         self._eval_step = self._jit(self._make_step(train=False))
+        from ldm_tpu.training.scan_epochs import build_epoch_scan
+
+        self._epoch_scan = build_epoch_scan(
+            self._make_step(train=True), self.train_loader, mesh=self.mesh,
+            enabled=getattr(config, "scan_epochs", True),
+        )
+        self._scan_epoch = 0
         self.early_stopping = EarlyStopping(
             patience=config.early_stopping_patience, verbose=True,
             save_fn=self._save_best,
@@ -135,6 +142,13 @@ class AutoencoderTrainer:
     def _epoch(self, train: bool) -> float:
         from ldm_tpu.parallel.mesh import global_batch_multiple
 
+        if train and self._epoch_scan:
+            epoch_key = jax.random.fold_in(
+                jax.random.fold_in(self.state.key, 0xE70C), self._scan_epoch
+            )
+            self._scan_epoch += 1
+            self.state, outs = self._epoch_scan(self.state, epoch_key)
+            return float(np.mean(jax.device_get(outs["loss"])))
         n_div = global_batch_multiple(self.mesh)
         losses = []
         loader = self.train_loader if train else self.val_loader

@@ -146,62 +146,13 @@ class DiffusionTrainer:
         return self._jit(train_step, donate_state=True)
 
     def _setup_scan_epochs(self) -> None:
-        """Epoch-as-lax.scan fast path: the dataset lives in HBM (uint8), each
-        epoch is ONE jitted program — on-device shuffle, per-step gather + [-1,1]
-        scaling, and n_batches optimization steps — with a single dispatch and no
-        host round-trips (the reference pays a host→device copy and a loss.item()
-        sync per batch, src/DiffusionModelTrainer.py:37,67)."""
-        from ldm_tpu.data.transforms import scale_to_minus_one_one
+        """Epoch-as-lax.scan fast path (see ldm_tpu/training/scan_epochs.py)."""
+        from ldm_tpu.training.scan_epochs import build_epoch_scan
 
-        self._epoch_scan = None
-        loader = self.train_loader
-        ds = getattr(loader, "dataset", None)
-        if (
-            not getattr(self.config, "scan_epochs", True)
-            or ds is None
-            or getattr(loader, "transform", None) is not scale_to_minus_one_one
-            or not getattr(loader, "drop_last", False)
-        ):
-            return
-        b = loader.batch_size
-        n_batches = len(ds) // b
-        if n_batches == 0 or b % global_batch_multiple(self.mesh) != 0:
-            return
-        # images stay uint8 in HBM (4x smaller than fp32); replicated on a mesh so
-        # each chip gathers its own shard of every batch with zero collectives
-        imgs = jnp.asarray(ds.images)
-        labels = jnp.asarray(np.asarray(ds.labels, np.int32))
-        if self.mesh is not None:
-            rep = replicated(self.mesh)
-            imgs, labels = jax.device_put(imgs, rep), jax.device_put(labels, rep)
-        self._epoch_data = (imgs, labels)
-        self._epoch_batches = n_batches
-        shuffle = bool(getattr(loader, "shuffle", True))
-        mesh = self.mesh
-
-        def epoch_fn(state: TrainState, images, labels, epoch_key):
-            n = images.shape[0]
-            perm = (
-                jax.random.permutation(epoch_key, n) if shuffle else jnp.arange(n)
-            )
-            idx = perm[: n_batches * b].reshape(n_batches, b)
-
-            def step(state, ib):
-                img = images[ib].astype(jnp.float32) / 255.0 * 2.0 - 1.0
-                batch = {"image": img, "label": labels[ib]}
-                if mesh is not None:
-                    batch = jax.lax.with_sharding_constraint(
-                        batch, data_sharding(mesh)
-                    )
-                return self._step_body(state, batch)
-
-            return jax.lax.scan(step, state, idx)
-
-        kw = {"donate_argnums": (0,)}
-        if mesh is not None:
-            rep = replicated(mesh)
-            kw["in_shardings"] = (rep, rep, rep, rep)
-        self._epoch_scan = jax.jit(epoch_fn, **kw)
+        self._epoch_scan = build_epoch_scan(
+            self._step_body, self.train_loader, mesh=self.mesh,
+            enabled=getattr(self.config, "scan_epochs", True),
+        )
 
     def _build_eval_step(self):
         model, diffusion = self.model, self.diffusion
@@ -296,12 +247,10 @@ class DiffusionTrainer:
             epoch_key = jax.random.fold_in(
                 jax.random.fold_in(self.state.key, 0xE70C), epoch
             )
-            self.state, losses = self._epoch_scan(
-                self.state, *self._epoch_data, epoch_key
-            )
+            self.state, losses = self._epoch_scan(self.state, epoch_key)
             losses = jax.device_get(losses)
-            for _ in range(self._epoch_batches):
-                tput.update(self.train_loader.batch_size)
+            for _ in range(self._epoch_scan.n_batches):
+                tput.update(self._epoch_scan.batch_size)
             self._last_rates = tput.rates()
             return float(np.mean(losses))
         losses = []

@@ -73,6 +73,13 @@ class ResNetTrainer:
         )
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
+        from ldm_tpu.training.scan_epochs import build_epoch_scan
+
+        self._epoch_scan = build_epoch_scan(
+            self._train_body, self.train_loader, mesh=self.mesh,
+            enabled=getattr(config, "scan_epochs", True),
+        )
+        self._scan_epoch = 0
         self.early_stopping = EarlyStopping(
             patience=config.early_stopping_patience, verbose=True,
             save_fn=self._save_best,
@@ -86,26 +93,29 @@ class ResNetTrainer:
         rep, dat = replicated(self.mesh), data_sharding(self.mesh)
         return jax.jit(fn, in_shardings=(rep, dat), **kw)
 
-    def _build_train_step(self):
+    def _train_body(self, state: TrainState, batch) -> Tuple[TrainState, dict]:
         model, nc = self.model, self.num_classes
 
-        def train_step(state: TrainState, batch) -> Tuple[TrainState, dict]:
-            def loss_fn(params):
-                logits, updates = model.apply(
-                    {"params": params["params"], "batch_stats": state.batch_stats},
-                    batch["image"], train=True, mutable=["batch_stats"],
-                )
-                loss = optax.softmax_cross_entropy_with_integer_labels(
-                    logits, batch["label"]
-                ).mean()
-                return loss, (logits, updates["batch_stats"])
+        def loss_fn(params):
+            logits, updates = model.apply(
+                {"params": params["params"], "batch_stats": state.batch_stats},
+                batch["image"], train=True, mutable=["batch_stats"],
+            )
+            loss = optax.softmax_cross_entropy_with_integer_labels(
+                logits, batch["label"]
+            ).mean()
+            return loss, (logits, updates["batch_stats"])
 
-            (loss, (logits, new_stats)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True
-            )(state.params)
-            state = state.apply_gradients(grads, batch_stats=new_stats)
-            cm = confusion_matrix(jnp.argmax(logits, -1), batch["label"], nc)
-            return state, {"loss": loss, "cm": cm}
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        state = state.apply_gradients(grads, batch_stats=new_stats)
+        cm = confusion_matrix(jnp.argmax(logits, -1), batch["label"], nc)
+        return state, {"loss": loss, "cm": cm}
+
+    def _build_train_step(self):
+        def train_step(state: TrainState, batch) -> Tuple[TrainState, dict]:
+            return self._train_body(state, batch)
 
         return self._jit(train_step, donate_state=True)
 
@@ -182,6 +192,23 @@ class ResNetTrainer:
                 "valid": self.val_loader, "test": self.test_loader,
             }[mode]
         training = mode in ("train", "pretrain")
+        if training and dataloader is self.train_loader and self._epoch_scan:
+            # one dispatch for the whole epoch (scan_epochs.py)
+            epoch_key = jax.random.fold_in(
+                jax.random.fold_in(self.state.key, 0xE70C), self._scan_epoch
+            )
+            self._scan_epoch += 1
+            self.state, outs = self._epoch_scan(self.state, epoch_key)
+            outs = jax.device_get(outs)
+            stats = {
+                k: float(v)
+                for k, v in f1_from_confusion(
+                    jnp.asarray(outs["cm"].sum(axis=0))
+                ).items()
+                if k != "f1_per_class"
+            }
+            stats["loss"] = float(np.mean(outs["loss"]))
+            return stats
         from ldm_tpu.parallel.mesh import global_batch_multiple
 
         n_div = global_batch_multiple(self.mesh)
