@@ -198,15 +198,23 @@ def main():
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
             baseline_info = json.load(f)
-        if "reference_torch_cpu_images_per_sec" not in baseline_info:
-            baseline_info = None  # old cache format: re-measure
+        if (
+            baseline_info.get("reference_torch_cpu_images_per_sec") is None
+            or baseline_info.get("device") != str(jax.devices()[0])
+        ):
+            # old/failed cache, or measured on different hardware (the ratio
+            # must be same-chip): re-measure
+            baseline_info = None
     if baseline_info is None:
+        import sys
+
         per_batch = {str(b): bench_reference_style(model, diffusion, params, b)
                      / n_chips for b in REF_BATCHES}
         try:
             torch_cpu = bench_reference_torch_cpu()
         except Exception as e:  # reference not importable — keep benching
-            print(f"# reference torch CPU baseline unavailable: {e}")
+            print(f"# reference torch CPU baseline unavailable: {e}",
+                  file=sys.stderr)
             torch_cpu = None
         baseline_info = {
             "reference_torch_cpu_images_per_sec": torch_cpu,
@@ -220,8 +228,9 @@ def main():
                     f"best over batches {list(REF_BATCHES)}",
             "device": str(jax.devices()[0]),
         }
-        with open(BASELINE_FILE, "w") as f:
-            json.dump(baseline_info, f, indent=2)
+        if torch_cpu is not None:  # never cache a failed measurement
+            with open(BASELINE_FILE, "w") as f:
+                json.dump(baseline_info, f, indent=2)
     ref_style = baseline_info["reference_style_images_per_sec_per_chip"]
     torch_cpu = baseline_info.get("reference_torch_cpu_images_per_sec")
 

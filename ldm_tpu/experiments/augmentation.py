@@ -167,7 +167,12 @@ def run_augmentation_experiment(
     from ldm_tpu.ops.fid import fid_from_features, pixel_fid
 
     n_fid = min(len(clf_tr), len(synth), 2048)
-    fid_pixel = pixel_fid(clf_tr.images[:n_fid], synth.images[:n_fid])
+    # the synthetic set is class-ordered (np.repeat) — subsample it shuffled so
+    # the FID slice covers all classes, like the permutation-split real slice
+    fid_rng = np.random.default_rng(config.seed + 0xF1D)
+    synth_fid = synth.images[fid_rng.permutation(len(synth))[:n_fid]]
+    real_fid = clf_tr.images[:n_fid]
+    fid_pixel = pixel_fid(real_fid, synth_fid)
     logger.log({"fid_pixel_synth_vs_real": fid_pixel}, step=0)
     fid_classifier = None
 
@@ -207,8 +212,8 @@ def run_augmentation_experiment(
             # penultimate embeddings are the strongest offline feature space
             from ldm_tpu.data.transforms import scale_to_minus_one_one
 
-            f_real = rt.features(scale_to_minus_one_one(clf_tr.images[:n_fid]))
-            f_fake = rt.features(scale_to_minus_one_one(synth.images[:n_fid]))
+            f_real = rt.features(scale_to_minus_one_one(real_fid))
+            f_fake = rt.features(scale_to_minus_one_one(synth_fid))
             fid_classifier = fid_from_features(f_real, f_fake)
             logger.log({"fid_classifier_synth_vs_real": fid_classifier}, step=0)
 

@@ -162,15 +162,18 @@ class ResNetTrainer:
         """Penultimate pooled embeddings of the trained classifier — the feature
         space for FID (ops.fid.classifier_fid).  ``images_m11``: float NHWC in
         [-1, 1]."""
-        fn = jax.jit(
-            lambda v, x: self.model.apply(v, x, train=False, features=True)
-        )
+        if not hasattr(self, "_features_fn"):  # jit once, reuse across calls
+            self._features_fn = jax.jit(
+                lambda v, x: self.model.apply(v, x, train=False, features=True)
+            )
+        fn = self._features_fn
         variables = {
             "params": self.state.params["params"],
             "batch_stats": self.state.batch_stats,
         }
         n = len(images_m11)
-        pad = (-n) % batch_size  # one compile: pad the tail batch, trim after
+        batch_size = min(batch_size, n)  # pad source must cover a full batch
+        pad = (-n) % batch_size  # one compile per batch size: pad tail, trim
         if pad:
             images_m11 = np.concatenate([images_m11, images_m11[:pad]])
         outs = [

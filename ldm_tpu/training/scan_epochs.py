@@ -49,14 +49,10 @@ def build_epoch_scan(
     loader,
     mesh=None,
     enabled: bool = True,
-    extra_batch_fn: Optional[Callable[[jax.Array], dict]] = None,
 ) -> Optional[EpochScan]:
     """Compile ``loader``'s epoch into one scan, or return None if the loader
     isn't the standard in-memory kind (custom transform, no drop_last, batch not
-    divisible across the mesh).
-
-    ``extra_batch_fn(ib)`` can add fields to each step's batch (e.g. per-step
-    indices)."""
+    divisible across the mesh)."""
     ds = getattr(loader, "dataset", None)
     if (
         not enabled
@@ -85,8 +81,6 @@ def build_epoch_scan(
         def step(state, ib):
             img = images[ib].astype(jnp.float32) / 255.0 * 2.0 - 1.0
             batch = {"image": img, "label": labels[ib]}
-            if extra_batch_fn is not None:
-                batch.update(extra_batch_fn(ib))
             if mesh is not None:
                 batch = jax.lax.with_sharding_constraint(
                     batch, data_sharding(mesh)
