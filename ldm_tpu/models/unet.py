@@ -287,6 +287,11 @@ class UNet(nn.Module):
     # per-level attention implementation: "xla" (default) | "pallas" — see
     # LinAttnBlock for the measured tradeoff
     attention_impl: Optional[str] = None
+    # The reference's BottleNeck drops the time embedding (bug,
+    # src/UNet.py:287-290); we fix it by default (PARITY.md #6).  False
+    # reproduces the reference behavior exactly — used by the whole-model
+    # golden parity test.
+    bottleneck_time_emb: bool = True
 
     @property
     def null_label(self) -> int:
@@ -326,12 +331,17 @@ class UNet(nn.Module):
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
 
         # ----- bottleneck (reference src/UNet.py:276-290; time-emb drop fixed)
-        x = ResNetBlock(chs[-1], dtype=self.dtype)(x, t_emb)
+        bt = t_emb if self.bottleneck_time_emb else None
+        x = ResNetBlock(chs[-1], dtype=self.dtype)(x, bt)
         x = PreNormResidual(Attention(dtype=self.dtype), dtype=self.dtype)(x)
-        x = ResNetBlock(chs[-1], dtype=self.dtype)(x, t_emb)
+        x = ResNetBlock(chs[-1], dtype=self.dtype)(x, bt)
 
         # ----- decoder (reference src/UNet.py:212-248) ----------------------
-        for dim_out in reversed(chs[1:-1] + [chs[0]]):
+        # The reference builds the decoder over reversed(channels_list) =
+        # [8c,4c,2c,c,c]: each up level is ConvTranspose(dims[i] -> dims[i+1]),
+        # concat skip (dims[i] channels), ResNetBlock -> dims[i+1] — i.e. the
+        # per-level output ladder is [4c, 2c, c, c].
+        for dim_out in list(reversed(chs[1:-1])) + [chs[0]]:
             x = nn.ConvTranspose(
                 dim_out, (2, 2), strides=(2, 2), padding="VALID", dtype=self.dtype
             )(x)

@@ -344,3 +344,116 @@ def test_classifier_residual_block_matches_eval():
         variables, jnp.asarray(nchw_to_nhwc(t2n(x))), train=False
     )
     np.testing.assert_allclose(np.asarray(got), want, atol=ATOL)
+
+
+# ------------------------------------------------------------- whole-model UNet
+def _map_unet_resblock(ref, with_time: bool) -> dict:
+    def block_params(b):
+        return {
+            "GroupNorm_0": {"scale": t2n(b.norm.weight), "bias": t2n(b.norm.bias)},
+            "Conv_0": {"kernel": conv_kernel(b.conv2d.weight),
+                       "bias": t2n(b.conv2d.bias)},
+        }
+
+    out = {"Block_0": block_params(ref.block1), "Block_1": block_params(ref.block2)}
+    if with_time and ref.mlp_t is not None:
+        out["Dense_0"] = {"kernel": linear_kernel(ref.mlp_t[1].weight),
+                          "bias": t2n(ref.mlp_t[1].bias)}
+    if not isinstance(ref.shortcut, torch.nn.Identity):
+        out["Conv_0"] = {"kernel": conv_kernel(ref.shortcut.weight),
+                         "bias": t2n(ref.shortcut.bias)}
+    return out
+
+
+def _convT_kernel(tw):
+    """torch ConvTranspose2d weight (in, out, kh, kw) -> flax (kh, kw, in, out),
+    spatially flipped (verified numerically: flax deposits unflipped kernels)."""
+    return np.ascontiguousarray(np.transpose(t2n(tw), (2, 3, 0, 1))[::-1, ::-1])
+
+
+def test_whole_unet_matches_reference():
+    """FULL UNet forward parity: identical weights, identical output, including
+    the decoder channel ladder, skip wiring, maxpool/convT placement, and the
+    conditioning path.  Uses bottleneck_time_emb=False to reproduce the
+    reference's time-emb drop (its BottleNeck bug, src/UNet.py:287-290); our
+    default fixes it (PARITY.md #6)."""
+    ch, mults, nc = 16, (1, 2), 10
+    ref = ref_unet.UNet(in_channels=1, out_channels=1, channels=ch,
+                        channel_multipliers=list(mults), num_classes=nc).eval()
+    ours = our_unet.UNet(in_channels=1, out_channels=1, channels=ch,
+                         channel_multipliers=mults, num_classes=nc,
+                         bottleneck_time_emb=False)
+
+    p = {
+        "TimeEmbedding_0": {
+            "Dense_0": {"kernel": linear_kernel(ref.time_emb.time_mlp[1].weight),
+                        "bias": t2n(ref.time_emb.time_mlp[1].bias)},
+            "Dense_1": {"kernel": linear_kernel(ref.time_emb.time_mlp[3].weight),
+                        "bias": t2n(ref.time_emb.time_mlp[3].bias)},
+        },
+        "Embed_0": {"embedding": t2n(ref.label_emb.weight)},
+        "Conv_0": {"kernel": conv_kernel(ref.initial_conv.weight),
+                   "bias": t2n(ref.initial_conv.bias)},
+    }
+    n_levels = len(mults)
+    # encoder: ResNetBlock_i + LinAttnBlock_i per level
+    for i, (block, attn, _pool) in enumerate(ref.encoder.downs):
+        p[f"ResNetBlock_{i}"] = _map_unet_resblock(block, with_time=True)
+        p[f"LinAttnBlock_{i}"] = _lin_attn_block_params(attn)["params"]
+    # bottleneck: ResNetBlock_{n}, PreNormResidual_0(Attention), ResNetBlock_{n+1}
+    p[f"ResNetBlock_{n_levels}"] = _map_unet_resblock(
+        ref.bottleneck.res1, with_time=False
+    )
+    bn_attn = ref.bottleneck.attn.fn  # Residual -> PreNorm
+    p["PreNormResidual_0"] = {
+        "GroupNorm_0": {"scale": t2n(bn_attn.norm.weight),
+                        "bias": t2n(bn_attn.norm.bias)},
+    }
+    # the Attention module is constructed in UNet's scope, so flax registers its
+    # params at the top level (not under PreNormResidual_0)
+    p["Attention_0"] = {
+        "Dense_0": {"kernel": t2n(bn_attn.fn.to_qkv.weight)[:, :, 0, 0].T},
+        "Dense_1": {"kernel": t2n(bn_attn.fn.to_out.weight)[:, :, 0, 0].T,
+                    "bias": t2n(bn_attn.fn.to_out.bias)},
+    }
+    p[f"ResNetBlock_{n_levels + 1}"] = _map_unet_resblock(
+        ref.bottleneck.res2, with_time=False
+    )
+    # decoder: ConvTranspose_i + ResNetBlock_{n+2+i} + LinAttnBlock_{n+i}
+    for i, (block, attn, convT) in enumerate(ref.decoder.ups):
+        p[f"ConvTranspose_{i}"] = {"kernel": _convT_kernel(convT.weight),
+                                   "bias": t2n(convT.bias)}
+        p[f"ResNetBlock_{n_levels + 2 + i}"] = _map_unet_resblock(
+            block, with_time=True
+        )
+        p[f"LinAttnBlock_{n_levels + i}"] = _lin_attn_block_params(attn)["params"]
+    # head: ResNetBlock (no time) + 1x1 conv
+    p[f"ResNetBlock_{2 * n_levels + 2}"] = _map_unet_resblock(
+        ref.final_conv[0], with_time=False
+    )
+    p["Conv_1"] = {"kernel": conv_kernel(ref.final_conv[1].weight),
+                   "bias": t2n(ref.final_conv[1].bias)}
+
+    x = rand_nchw(2, 1, 16, 16)
+    t = torch.tensor([3, 250])
+    y = torch.tensor([1, 7])
+    with torch.no_grad():
+        want = nchw_to_nhwc(t2n(ref(x, t, y)))
+    got = ours.apply(
+        {"params": p}, jnp.asarray(nchw_to_nhwc(t2n(x))),
+        jnp.asarray(t2n(t)), jnp.asarray(t2n(y)),
+    )
+    # structural check too: identical parameter count
+    init_p = jax.jit(ours.init)(
+        jax.random.key(0), jnp.zeros((1, 16, 16, 1)),
+        jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32),
+    )
+    n_ref = sum(v.numel() for k, v in ref.state_dict().items()
+                if "mlp_t" not in k or "bottleneck" not in k)
+    n_ref_usable = sum(
+        v.numel() for k, v in ref.state_dict().items()
+        if not (k.startswith("bottleneck") and "mlp_t" in k)
+    )
+    n_ours = sum(v.size for v in jax.tree.leaves(init_p))
+    assert n_ours == n_ref_usable, (n_ours, n_ref_usable)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
