@@ -457,3 +457,154 @@ def test_whole_unet_matches_reference():
     n_ours = sum(v.size for v in jax.tree.leaves(init_p))
     assert n_ours == n_ref_usable, (n_ours, n_ref_usable)
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+
+def _map_vae_resblock(ref) -> dict:
+    out = {
+        "GroupNorm_0": {"scale": t2n(ref.norm1.weight), "bias": t2n(ref.norm1.bias)},
+        "Conv_0": {"kernel": conv_kernel(ref.conv1.weight), "bias": t2n(ref.conv1.bias)},
+        "GroupNorm_1": {"scale": t2n(ref.norm2.weight), "bias": t2n(ref.norm2.bias)},
+        "Conv_1": {"kernel": conv_kernel(ref.conv2.weight), "bias": t2n(ref.conv2.bias)},
+    }
+    if not isinstance(ref.nin_shortcut, torch.nn.Identity):
+        out["Conv_2"] = {"kernel": conv_kernel(ref.nin_shortcut.weight),
+                         "bias": t2n(ref.nin_shortcut.bias)}
+    return out
+
+
+def _map_vae_attn(ref) -> dict:
+    def dense(conv):
+        return {"kernel": t2n(conv.weight)[:, :, 0, 0].T, "bias": t2n(conv.bias)}
+
+    return {
+        "GroupNorm_0": {"scale": t2n(ref.norm.weight), "bias": t2n(ref.norm.bias)},
+        "Dense_0": dense(ref.q), "Dense_1": dense(ref.k), "Dense_2": dense(ref.v),
+        "Dense_3": dense(ref.proj_out),
+    }
+
+
+def _conv(ref) -> dict:
+    return {"kernel": conv_kernel(ref.weight), "bias": t2n(ref.bias)}
+
+
+def test_whole_autoencoder_matches_reference():
+    """FULL VAE parity: encoder (blocks-per-resolution + asymmetric downsample +
+    mid attention + moments head), quant/post-quant convs, and decoder
+    (n_resnet_blocks+1 per level + nearest upsample), identical weights
+    (reference src/Autoencoder.py:183-462)."""
+    ch, mults, nrb, z = 32, [1, 2], 1, 4
+    ref = ref_ae.Autoencoder(
+        in_channels=1, z_channels=z, out_channels=1, channels=ch,
+        channel_multipliers=mults, n_resnet_blocks=nrb,
+    ).eval()
+    enc, dec = ref.encoder, ref.decoder
+
+    # ---- encoder params: Conv_0, ResnetBlock_i (+DownSample_j), mid, head
+    ep = {"Conv_0": _conv(enc.conv_in)}
+    rb = ds = 0
+    for down in enc.down:
+        for block in down.block:
+            ep[f"ResnetBlock_{rb}"] = _map_vae_resblock(block); rb += 1
+        if not isinstance(down.downsample, torch.nn.Identity):
+            ep[f"DownSample_{ds}"] = {"Conv_0": _conv(down.downsample.conv)}; ds += 1
+    ep[f"ResnetBlock_{rb}"] = _map_vae_resblock(enc.mid.block_1)
+    ep["AttnBlock_0"] = _map_vae_attn(enc.mid.attn_1)
+    ep[f"ResnetBlock_{rb + 1}"] = _map_vae_resblock(enc.mid.block_2)
+    ep["GroupNorm_0"] = {"scale": t2n(enc.norm_out.weight),
+                         "bias": t2n(enc.norm_out.bias)}
+    ep["Conv_1"] = _conv(enc.conv_out)
+
+    # ---- decoder params: Conv_0, mid, ResnetBlock_i (+UpSample_j), head
+    dp = {"Conv_0": _conv(dec.conv_in)}
+    dp["ResnetBlock_0"] = _map_vae_resblock(dec.mid.block_1)
+    dp["AttnBlock_0"] = _map_vae_attn(dec.mid.attn_1)
+    dp["ResnetBlock_1"] = _map_vae_resblock(dec.mid.block_2)
+    rb, us = 2, 0
+    for up in reversed(dec.up):  # forward iterates reversed(self.up)
+        for block in up.block:
+            dp[f"ResnetBlock_{rb}"] = _map_vae_resblock(block); rb += 1
+        if not isinstance(up.upsample, torch.nn.Identity):
+            dp[f"UpSample_{us}"] = {"Conv_0": _conv(up.upsample.conv)}; us += 1
+    dp["GroupNorm_0"] = {"scale": t2n(dec.norm_out.weight),
+                         "bias": t2n(dec.norm_out.bias)}
+    dp["Conv_1"] = _conv(dec.conv_out)
+
+    params = {"params": {
+        "encoder": ep, "decoder": dp,
+        "quant_conv": _conv(ref.quant_conv),
+        "post_quant_conv": _conv(ref.post_quant_conv),
+    }}
+    ours = our_ae.Autoencoder(in_channels=1, out_channels=1, channels=ch,
+                              channel_multipliers=tuple(mults),
+                              n_resnet_blocks=nrb, z_channels=z)
+
+    x = rand_nchw(2, 1, 16, 16)
+    with torch.no_grad():
+        dist = ref.encode(x)
+        want_mu, want_lv = nchw_to_nhwc(t2n(dist.mu)), nchw_to_nhwc(t2n(dist.log_var))
+        zt = rand_nchw(2, z, 8, 8, seed=3)
+        want_img = nchw_to_nhwc(t2n(ref.decode(zt)))
+
+    moments = ours.apply(
+        params, jnp.asarray(nchw_to_nhwc(t2n(x))), method=ours.encode_moments
+    )
+    mu, lv = our_ae.Autoencoder.moments_split(moments)
+    np.testing.assert_allclose(np.asarray(mu), want_mu, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(lv), want_lv, atol=1e-4)
+    img = ours.apply(
+        params, jnp.asarray(nchw_to_nhwc(t2n(zt))), method=ours.decode
+    )
+    np.testing.assert_allclose(np.asarray(img), want_img, atol=1e-4)
+
+
+def test_whole_resnet_classifier_matches_reference_eval():
+    """FULL classifier parity in eval mode, probs=True vs the reference's in-model
+    Softmax (src/ResNetClassifier.py:152-243): stem conv+BN (no ReLU — reference
+    quirk kept), stride-2 only on the very first block, global average pool,
+    linear head. The reference's head hardcodes Linear(512, .), so the test uses
+    n_channels ending in 512."""
+    n_blocks, n_channels = [1, 1], [8, 512]
+    ref = ref_rn.ResNetBase(img_channels=1, out_channels=10,
+                            n_blocks=n_blocks, n_channels=n_channels).eval()
+    with torch.no_grad():  # non-trivial running stats everywhere
+        for m in ref.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.5, 0.5)
+                m.running_var.uniform_(0.5, 1.5)
+
+    params = {"Conv_0": {"kernel": conv_kernel(ref.conv.weight)}}
+    stats = {}
+    bn_p, bn_s = _bn(ref.bn)
+    params["BatchNorm_0"] = bn_p
+    stats["BatchNorm_0"] = bn_s
+    for i, block in enumerate(ref.blocks):
+        bp, bs = {}, {}
+        k = 0
+        if not isinstance(block.shortcut, torch.nn.Identity):
+            bp[f"Conv_{k}"] = {"kernel": conv_kernel(block.shortcut.conv.weight),
+                               "bias": t2n(block.shortcut.conv.bias)}
+            p0, s0 = _bn(block.shortcut.bn)
+            bp[f"BatchNorm_{k}"], bs[f"BatchNorm_{k}"] = p0, s0
+            k += 1
+        p1, s1 = _bn(block.bn1)
+        bp[f"Conv_{k}"] = {"kernel": conv_kernel(block.conv1.weight)}
+        bp[f"BatchNorm_{k}"], bs[f"BatchNorm_{k}"] = p1, s1
+        p2, s2 = _bn(block.bn2)
+        bp[f"Conv_{k + 1}"] = {"kernel": conv_kernel(block.conv2.weight)}
+        bp[f"BatchNorm_{k + 1}"], bs[f"BatchNorm_{k + 1}"] = p2, s2
+        params[f"ResidualBlock_{i}"] = bp
+        stats[f"ResidualBlock_{i}"] = bs
+    params["Dense_0"] = {"kernel": linear_kernel(ref.final_linear.weight),
+                         "bias": t2n(ref.final_linear.bias)}
+
+    ours = our_rn.ResNetBase(img_channels=1, out_channels=10,
+                             n_blocks=tuple(n_blocks),
+                             n_channels=tuple(n_channels))
+    x = rand_nchw(2, 1, 16, 16)
+    with torch.no_grad():
+        want = t2n(ref(x))
+    got = ours.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(nchw_to_nhwc(t2n(x))), train=False, probs=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
