@@ -97,6 +97,11 @@ class Config:
     # dataset (shuffle, gather, noising, step — zero host round-trips per epoch)
     # when the dataset fits in HBM. Falls back to per-batch stepping otherwise.
     scan_epochs: bool = True
+    # NaN sanitizer: aborts the program at the op that produced a NaN
+    # (jax_debug_nans) — the TPU-native stand-in for the reference's nonexistent
+    # numeric debugging story (SURVEY.md §5). Applied by the entry points via
+    # ldm_tpu.utils.seed.apply_runtime_flags.
+    debug_nans: bool = False
     model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
     diffusion: DiffusionConfig = dataclasses.field(default_factory=DiffusionConfig)
     data: DataConfig = dataclasses.field(default_factory=DataConfig)

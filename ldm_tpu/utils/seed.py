@@ -15,3 +15,14 @@ def set_seed(seed: int = 42) -> int:
     random.seed(seed)
     np.random.seed(seed)
     return seed
+
+
+def apply_runtime_flags(config) -> None:
+    """Apply config-driven JAX runtime flags (entry points call this once).
+
+    ``debug_nans`` — abort at the first op producing a NaN (jax_debug_nans),
+    the numeric sanitizer the reference lacks (SURVEY.md §5)."""
+    if getattr(config, "debug_nans", False):
+        import jax
+
+        jax.config.update("jax_debug_nans", True)

@@ -38,10 +38,11 @@ def main() -> None:
     from ldm_tpu.config import load_config
     from ldm_tpu.experiments.augmentation import run_augmentation_experiment
     from ldm_tpu.parallel.mesh import create_mesh
-    from ldm_tpu.utils.seed import set_seed
+    from ldm_tpu.utils.seed import apply_runtime_flags, set_seed
 
     config = load_config(args.config)
     set_seed(config.seed)
+    apply_runtime_flags(config)
     result = run_augmentation_experiment(
         config,
         mesh=create_mesh() if args.mesh else None,

@@ -31,10 +31,11 @@ def main() -> None:
     from ldm_tpu.registry import instantiate_from_config
     from ldm_tpu.factory import compute_dtype
     from ldm_tpu.training.autoencoder_trainer import AutoencoderTrainer
-    from ldm_tpu.utils.seed import set_seed
+    from ldm_tpu.utils.seed import apply_runtime_flags, set_seed
 
     config = load_config(args.config)
     set_seed(config.seed)
+    apply_runtime_flags(config)
     train_loader, val_loader, _test, _classes = create_dataloaders(config)
     model = instantiate_from_config(
         {"target": config.model.target, "params": config.model.params},

@@ -34,10 +34,11 @@ def main() -> None:
     from ldm_tpu.factory import build_diffusion, build_model
     from ldm_tpu.parallel.mesh import create_mesh
     from ldm_tpu.training.diffusion_trainer import DiffusionTrainer
-    from ldm_tpu.utils.seed import set_seed
+    from ldm_tpu.utils.seed import apply_runtime_flags, set_seed
 
     config = load_config(args.config)
     set_seed(config.seed)
+    apply_runtime_flags(config)
     train_loader, val_loader, _test_loader, classes = create_dataloaders(config)
     mesh = create_mesh() if args.mesh else None
 

@@ -39,11 +39,12 @@ def main() -> None:
     from ldm_tpu.registry import instantiate_from_config
     from ldm_tpu.training import checkpoint as ckpt
     from ldm_tpu.training.latent_trainer import LatentDiffusionTrainer
-    from ldm_tpu.utils.seed import set_seed
+    from ldm_tpu.utils.seed import apply_runtime_flags, set_seed
 
     config = load_config(args.config)
     assert config.autoencoder is not None, "config needs an autoencoder: block"
     set_seed(config.seed)
+    apply_runtime_flags(config)
 
     ae = instantiate_from_config(
         {"target": config.autoencoder.target, "params": config.autoencoder.params},

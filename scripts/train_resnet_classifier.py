@@ -36,12 +36,13 @@ def main() -> None:
     from ldm_tpu.parallel.mesh import create_mesh
     from ldm_tpu.training.resnet_trainer import ResNetTrainer
     from ldm_tpu.utils.images import load_image_folder
-    from ldm_tpu.utils.seed import set_seed
+    from ldm_tpu.utils.seed import apply_runtime_flags, set_seed
 
     config = load_config(args.config)
     if config.loss_fn == "mse":
         config.loss_fn = "cross-entropy"
     set_seed(config.seed)
+    apply_runtime_flags(config)
     train_loader, val_loader, test_loader, classes = create_dataloaders(config)
     model = build_classifier(
         config, config.data.image_channels, len(classes)

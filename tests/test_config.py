@@ -65,3 +65,18 @@ batch_size: 32
     assert cfg.diffusion.n_samples == 7
     assert cfg.diffusion.cfg_scale == 2
     assert cfg.batch_size == 32
+
+
+def test_debug_nans_flag_applies():
+    import jax
+
+    from ldm_tpu.config import Config
+    from ldm_tpu.utils.seed import apply_runtime_flags
+
+    apply_runtime_flags(Config(debug_nans=False))
+    assert not jax.config.jax_debug_nans
+    try:
+        apply_runtime_flags(Config(debug_nans=True))
+        assert jax.config.jax_debug_nans
+    finally:
+        jax.config.update("jax_debug_nans", False)
