@@ -36,6 +36,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persistent compilation cache: verified working over the axon tunnel (a 60 s
+# scan compile replays in <1 s from cache) — repeated bench runs skip the
+# multi-minute sampler compiles.
+_cache_dir = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "runs", ".jax_cache"
+)
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 OUR_BATCHES = (64, 128)
 REF_BATCHES = (64, 128, 256)
 T = 1000

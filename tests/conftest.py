@@ -16,6 +16,11 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# cache compiles across pytest runs (verified effective in this environment)
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", "runs", ".jax_cache_cpu")
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 import pytest  # noqa: E402
 
