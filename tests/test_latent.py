@@ -75,3 +75,34 @@ def test_encode_decode_roundtrip_scaling():
     assert z.shape == (2, 8, 8, 4)
     out = ldm.autoencoder_decode(ae_params, z)
     assert out.shape == img.shape
+
+
+@pytest.mark.slow
+def test_latent_trainer_on_mesh(tmp_path):
+    """DP latent diffusion over the virtual mesh: frozen-VAE encode inside the
+    sharded scan-epoch step, and sampling (latent scan + VAE decode) with the
+    class batch sharded on the data axis."""
+    from ldm_tpu.parallel.mesh import create_mesh
+
+    ldm = _tiny_ldm()
+    cfg = Config(
+        project_name="ldm_mesh", workdir=str(tmp_path), type="latent",
+        epochs=1, batch_size=16, use_amp=False, seed=0,
+        diffusion=DiffusionConfig(n_steps=8, cfg_scale=3),
+        data=DataConfig(dataset="SYNTHETIC", image_size=16, image_channels=1),
+    )
+    ae_params = jax.jit(ldm.autoencoder.init)(
+        jax.random.key(0), jnp.zeros((1, 16, 16, 1)), jax.random.key(1)
+    )
+    ds = synthetic_dataset(48, 16, 1, seed=0)
+    trainer = LatentDiffusionTrainer(
+        cfg, ldm, ae_params,
+        DataLoader(ds.subset(np.arange(32)), 16, seed=0),
+        DataLoader(ds.subset(np.arange(32, 48)), 16, seed=1),
+        classes=list(range(10)), mesh=create_mesh(),
+    )
+    assert trainer._epoch_scan is not None  # scan-epoch path active on the mesh
+    hist = trainer.train()
+    assert np.isfinite(hist["train_loss"][0])
+    imgs = trainer.sample(list(range(10)), cfg_scale=3.0)  # 10 on 8 devices: pad
+    assert imgs.shape == (10, 16, 16, 1) and imgs.dtype == np.uint8
