@@ -22,6 +22,10 @@ def main() -> None:
     ap.add_argument("--cpu", action="store_true", help="force the CPU platform")
     ap.add_argument("--mesh", action="store_true",
                     help="data-parallel over all local devices")
+    ap.add_argument("--epochs", type=int, default=None,
+                    help="override the config's epoch count (smoke runs)")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of the run under DIR")
     args = ap.parse_args()
 
     import jax
@@ -36,7 +40,13 @@ def main() -> None:
     from ldm_tpu.training.diffusion_trainer import DiffusionTrainer
     from ldm_tpu.utils.seed import apply_runtime_flags, set_seed
 
+    import dataclasses
+
+    from ldm_tpu.utils.profiling import trace
+
     config = load_config(args.config)
+    if args.epochs is not None:
+        config = dataclasses.replace(config, epochs=args.epochs)
     set_seed(config.seed)
     apply_runtime_flags(config)
     train_loader, val_loader, _test_loader, classes = create_dataloaders(config)
@@ -48,7 +58,8 @@ def main() -> None:
     )
     if args.resume and trainer.resume_latest():
         print(f"resumed from step {int(trainer.state.step)}")
-    trainer.train()
+    with trace(args.profile):
+        trainer.train()
 
 
 if __name__ == "__main__":
