@@ -204,43 +204,47 @@ def main():
         model, GaussianDiffusion(n_steps=400), params, best_batch
     ) / n_chips
 
-    baseline_info = None
+    # ---- baselines: the style sweep and the torch-CPU measurement cache
+    # independently (a failed torch import must not discard the expensive
+    # same-chip style sweep, and vice versa).
+    import sys
+
+    baseline_info = {}
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
             baseline_info = json.load(f)
-        if (
-            baseline_info.get("reference_torch_cpu_images_per_sec") is None
-            or baseline_info.get("device") != str(jax.devices()[0])
-        ):
-            # old/failed cache, or measured on different hardware (the ratio
-            # must be same-chip): re-measure
-            baseline_info = None
-    if baseline_info is None:
-        import sys
-
+        if baseline_info.get("device") != str(jax.devices()[0]):
+            baseline_info = {}  # measured on different hardware: re-measure all
+    changed = False
+    if "reference_style_images_per_sec_per_chip" not in baseline_info:
         per_batch = {str(b): bench_reference_style(model, diffusion, params, b)
                      / n_chips for b in REF_BATCHES}
-        try:
-            torch_cpu = bench_reference_torch_cpu()
-        except Exception as e:  # reference not importable — keep benching
-            print(f"# reference torch CPU baseline unavailable: {e}",
-                  file=sys.stderr)
-            torch_cpu = None
-        baseline_info = {
-            "reference_torch_cpu_images_per_sec": torch_cpu,
-            "reference_torch_cpu_note": "the actual reference implementation "
-                "(/root/reference PyTorch), T=1000, batch 16, CPU — the only "
-                "hardware it can run on in this image",
+        baseline_info.update({
             "reference_style_images_per_sec_per_chip": max(per_batch.values()),
             "per_batch": per_batch,
             "note": "reference algorithm structure (Python loop, 2 UNet calls/step,"
                     " host sync/step) on the same chip with our JAX model, T=1000, "
                     f"best over batches {list(REF_BATCHES)}",
             "device": str(jax.devices()[0]),
-        }
-        if torch_cpu is not None:  # never cache a failed measurement
-            with open(BASELINE_FILE, "w") as f:
-                json.dump(baseline_info, f, indent=2)
+        })
+        changed = True
+    if baseline_info.get("reference_torch_cpu_images_per_sec") is None:
+        try:
+            baseline_info["reference_torch_cpu_images_per_sec"] = (
+                bench_reference_torch_cpu()
+            )
+            baseline_info["reference_torch_cpu_note"] = (
+                "the actual reference implementation (/root/reference PyTorch), "
+                "T=1000, batch 16, CPU — the only hardware it can run on in "
+                "this image"
+            )
+            changed = True
+        except Exception as e:  # reference not importable — keep benching
+            print(f"# reference torch CPU baseline unavailable: {e}",
+                  file=sys.stderr)
+    if changed:
+        with open(BASELINE_FILE, "w") as f:
+            json.dump(baseline_info, f, indent=2)
     ref_style = baseline_info["reference_style_images_per_sec_per_chip"]
     torch_cpu = baseline_info.get("reference_torch_cpu_images_per_sec")
 

@@ -143,11 +143,8 @@ class AutoencoderTrainer:
         from ldm_tpu.parallel.mesh import global_batch_multiple
 
         if train and self._epoch_scan:
-            epoch_key = jax.random.fold_in(
-                jax.random.fold_in(self.state.key, 0xE70C), self._scan_epoch
-            )
+            self.state, outs = self._epoch_scan(self.state, self._scan_epoch)
             self._scan_epoch += 1
-            self.state, outs = self._epoch_scan(self.state, epoch_key)
             return float(np.mean(jax.device_get(outs["loss"])))
         n_div = global_batch_multiple(self.mesh)
         losses = []

@@ -234,8 +234,6 @@ class DiffusionTrainer:
     # ----------------------------------------------------------------- epochs
     def _divisible(self, batch) -> bool:
         """Mesh-sharded steps need the batch to split evenly across devices."""
-        from ldm_tpu.parallel.mesh import global_batch_multiple
-
         return len(batch["label"]) % global_batch_multiple(self.mesh) == 0
 
     def _train_epoch(self, epoch: int) -> float:
@@ -244,10 +242,7 @@ class DiffusionTrainer:
         tput = Throughput()
         if self._epoch_scan is not None:
             # one dispatch for the whole epoch (shuffle + all steps on device)
-            epoch_key = jax.random.fold_in(
-                jax.random.fold_in(self.state.key, 0xE70C), epoch
-            )
-            self.state, losses = self._epoch_scan(self.state, epoch_key)
+            self.state, losses = self._epoch_scan(self.state, epoch)
             losses = jax.device_get(losses)
             for _ in range(self._epoch_scan.n_batches):
                 tput.update(self._epoch_scan.batch_size)
@@ -332,8 +327,6 @@ class DiffusionTrainer:
         n = len(classes)
         # a mesh-sharded sampler needs the batch divisible across the data axis —
         # pad with class 0 and trim (the pad images are discarded)
-        from ldm_tpu.parallel.mesh import global_batch_multiple
-
         mult = global_batch_multiple(self.mesh)
         pad = (-n) % mult
         if pad:

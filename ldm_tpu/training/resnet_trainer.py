@@ -197,11 +197,8 @@ class ResNetTrainer:
         training = mode in ("train", "pretrain")
         if training and dataloader is self.train_loader and self._epoch_scan:
             # one dispatch for the whole epoch (scan_epochs.py)
-            epoch_key = jax.random.fold_in(
-                jax.random.fold_in(self.state.key, 0xE70C), self._scan_epoch
-            )
+            self.state, outs = self._epoch_scan(self.state, self._scan_epoch)
             self._scan_epoch += 1
-            self.state, outs = self._epoch_scan(self.state, epoch_key)
             outs = jax.device_get(outs)
             stats = {
                 k: float(v)

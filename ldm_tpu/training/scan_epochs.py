@@ -31,8 +31,12 @@ StepBody = Callable[[Any, dict], Tuple[Any, Any]]  # (state, batch) -> (state, o
 
 
 class EpochScan:
-    """A compiled one-dispatch epoch. Call with (state, epoch_key) →
-    (state, stacked step outputs)."""
+    """A compiled one-dispatch epoch. Call with (state, epoch index) →
+    (state, stacked step outputs).  Owns the shuffle-key derivation: the epoch
+    index is folded into a salted stream of the state's (constant) key, so the
+    per-step keys (``state.step_key()``, unsalted) can never collide with it."""
+
+    SHUFFLE_SALT = 0xE70C
 
     def __init__(self, fn, data, n_batches: int, batch_size: int):
         self._fn = fn
@@ -40,7 +44,10 @@ class EpochScan:
         self.n_batches = n_batches
         self.batch_size = batch_size
 
-    def __call__(self, state, epoch_key):
+    def __call__(self, state, epoch: int):
+        epoch_key = jax.random.fold_in(
+            jax.random.fold_in(state.key, self.SHUFFLE_SALT), epoch
+        )
         return self._fn(state, *self._data, epoch_key)
 
 

@@ -21,8 +21,8 @@ def apply_runtime_flags(config) -> None:
     """Apply config-driven JAX runtime flags (entry points call this once).
 
     ``debug_nans`` — abort at the first op producing a NaN (jax_debug_nans),
-    the numeric sanitizer the reference lacks (SURVEY.md §5)."""
-    if getattr(config, "debug_nans", False):
-        import jax
+    the numeric sanitizer the reference lacks (SURVEY.md §5).  Applied BOTH ways
+    so a long-lived process honors each loaded config."""
+    import jax
 
-        jax.config.update("jax_debug_nans", True)
+    jax.config.update("jax_debug_nans", bool(getattr(config, "debug_nans", False)))

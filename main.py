@@ -51,7 +51,9 @@ def main() -> None:
         classifier_epochs=args.classifier_epochs,
     )
     print(json.dumps({"test_f1": result.test_f1,
-                      "synthetic_size": result.synthetic_size}, indent=2))
+                      "synthetic_size": result.synthetic_size,
+                      "fid_pixel": result.fid_pixel,
+                      "fid_classifier": result.fid_classifier}, indent=2))
 
 
 if __name__ == "__main__":

@@ -448,8 +448,6 @@ def test_whole_unet_matches_reference():
         jax.random.key(0), jnp.zeros((1, 16, 16, 1)),
         jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32),
     )
-    n_ref = sum(v.numel() for k, v in ref.state_dict().items()
-                if "mlp_t" not in k or "bottleneck" not in k)
     n_ref_usable = sum(
         v.numel() for k, v in ref.state_dict().items()
         if not (k.startswith("bottleneck") and "mlp_t" in k)
