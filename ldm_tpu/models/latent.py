@@ -20,7 +20,7 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import jax
-import jax.numpy as jnp
+
 
 from ldm_tpu.diffusion.ddpm import GaussianDiffusion
 from ldm_tpu.registry import register

@@ -15,7 +15,7 @@ softmax-cross-entropy; ``apply(..., probs=True)`` gives probabilities for parity
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,7 @@ TPU-first deviations (recorded in PARITY.md):
 from __future__ import annotations
 
 import math
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Any, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
+
 import numpy as np
 
 from ldm_tpu.config import Config

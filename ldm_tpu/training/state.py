@@ -13,7 +13,7 @@ reference has none): ``ema = d*ema + (1-d)*params`` with the standard
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp
