@@ -1,1 +1,6 @@
 from ldm_tpu.ops.metrics import confusion_matrix, f1_from_confusion  # noqa: F401
+from ldm_tpu.ops.linear_attention import (  # noqa: F401
+    linear_attention_block,
+    linear_attention_block_pallas,
+    linear_attention_block_xla,
+)

@@ -158,3 +158,26 @@ def test_scan_epochs_flag_gates_fast_path(tmp_path):
     assert off._epoch_scan is None
     hist = off.train()  # the per-batch fallback path still trains
     assert np.isfinite(hist["train_loss"][0])
+
+
+def test_epoch_scan_eligibility_gates():
+    """build_epoch_scan must decline loaders it can't faithfully compile."""
+    from ldm_tpu.data.datasets import synthetic_dataset
+    from ldm_tpu.data.loader import DataLoader
+    from ldm_tpu.data.transforms import scale_to_zero_one
+    from ldm_tpu.training.scan_epochs import build_epoch_scan
+
+    ds = synthetic_dataset(32, 8, 1, seed=0)
+    body = lambda s, b: (s, jnp.float32(0))  # noqa: E731
+
+    assert build_epoch_scan(body, DataLoader(ds, 8)) is not None
+    # non-standard transform: the inline /255*2-1 scaling wouldn't match
+    assert build_epoch_scan(
+        body, DataLoader(ds, 8, transform=scale_to_zero_one)
+    ) is None
+    # drop_last=False: variable tail batch can't live in a scan
+    assert build_epoch_scan(body, DataLoader(ds, 8, drop_last=False)) is None
+    # batch larger than the dataset
+    assert build_epoch_scan(body, DataLoader(ds, 64)) is None
+    # disabled by config flag
+    assert build_epoch_scan(body, DataLoader(ds, 8), enabled=False) is None
