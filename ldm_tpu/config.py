@@ -97,6 +97,12 @@ class Config:
     # dataset (shuffle, gather, noising, step — zero host round-trips per epoch)
     # when the dataset fits in HBM. Falls back to per-batch stepping otherwise.
     scan_epochs: bool = True
+    # Cadence knobs (epochs). The reference samples a grid every 2 epochs
+    # (src/DiffusionModelTrainer.py:140-143) and has no periodic full-state
+    # checkpoint at all; full-state writes are ~4x model size and cross the
+    # host link, so long runs should raise checkpoint_every.
+    sample_every: int = 2
+    checkpoint_every: int = 1
     # NaN sanitizer: aborts the program at the op that produced a NaN
     # (jax_debug_nans) — the TPU-native stand-in for the reference's nonexistent
     # numeric debugging story (SURVEY.md §5). Applied by the entry points via

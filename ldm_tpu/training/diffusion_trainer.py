@@ -213,6 +213,16 @@ class DiffusionTrainer:
 
     # ----------------------------------------------------------- persistence
     def _save_best(self, state: TrainState) -> None:
+        """Val-improvement hook: keep the best state as a cheap ON-DEVICE copy
+        (a host round-trip per improvement dominates epoch time on small
+        models); flushed to disk at the checkpoint cadence and at train() end."""
+        self._best_state = jax.tree.map(jnp.copy, state)
+        self._best_dirty = True
+
+    def _flush_best(self) -> None:
+        if not getattr(self, "_best_dirty", False):
+            return
+        state = self._best_state
         ckpt.save_params(
             f"{self.config.checkpoints}/diffusion_model.msgpack", state.params
         )
@@ -220,6 +230,7 @@ class DiffusionTrainer:
             f"{self.config.checkpoints}/diffusion_model_ema.msgpack", state.ema_params
         )
         ckpt.save_state(f"{self.config.checkpoints}/best_state.msgpack", state)
+        self._best_dirty = False
 
     def save_latest(self) -> None:
         ckpt.save_state(f"{self.config.checkpoints}/state.msgpack", self.state)
@@ -296,16 +307,19 @@ class DiffusionTrainer:
                 },
                 step=epoch,
             )
-            if epoch % 2 == 0:
+            if epoch % getattr(self.config, "sample_every", 2) == 0:
                 images = self.sample(self.classes, cfg_scale=self.cfg_scale)
                 self.logger.log_images(
                     images, step=epoch, mode="sample", dirpath=self.config.results
                 )
-            self.save_latest()
             self.early_stopping(val_loss, self.state)
+            if (epoch + 1) % getattr(self.config, "checkpoint_every", 1) == 0:
+                self.save_latest()
+                self._flush_best()
             if self.early_stopping.early_stop:
                 print("Early stopping")
                 break
+        self._flush_best()
         return history
 
     # ----------------------------------------------------------------- sample

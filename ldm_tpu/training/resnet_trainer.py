@@ -137,11 +137,21 @@ class ResNetTrainer:
 
     # ----------------------------------------------------------- persistence
     def _save_best(self, state: TrainState) -> None:
+        """Val-improvement hook: on-device copy, flushed at epoch cadence / end
+        (host round-trips per improvement dominate epoch time otherwise)."""
+        self._best_state = jax.tree.map(jnp.copy, state)
+        self._best_dirty = True
+
+    def _flush_best(self) -> None:
+        if not getattr(self, "_best_dirty", False):
+            return
+        state = self._best_state
         ckpt.save_params(
             f"{self.config.checkpoints}/{self.name}.msgpack",
             {"params": state.params["params"], "batch_stats": state.batch_stats},
         )
         ckpt.save_state(f"{self.config.checkpoints}/{self.name}_state.msgpack", state)
+        self._best_dirty = False
 
     def load_best(self) -> None:
         """Reload best weights for testing (reference reloads the best checkpoint
@@ -253,12 +263,16 @@ class ResNetTrainer:
                 step=epoch,
             )
             self.early_stopping(va["loss"], self.state)
+            if (epoch + 1) % getattr(self.config, "checkpoint_every", 1) == 0:
+                self._flush_best()
             if self.early_stopping.early_stop:
                 print("Early stopping")
                 break
+        self._flush_best()
         return history
 
     def test(self) -> Dict[str, float]:
         """Best-checkpoint test pass (reference main.py:262-289)."""
+        self._flush_best()  # in case test() is called without train()
         self.load_best()
         return self.run("test")
