@@ -181,3 +181,44 @@ def test_epoch_scan_eligibility_gates():
     assert build_epoch_scan(body, DataLoader(ds, 64)) is None
     # disabled by config flag
     assert build_epoch_scan(body, DataLoader(ds, 8), enabled=False) is None
+
+
+def test_checkpoint_and_sample_cadence(tmp_path, monkeypatch):
+    """sample_every / checkpoint_every gate the grid sampling and full-state
+    writes; the best state always flushes by the end of train()."""
+    import dataclasses
+    import os
+
+    from ldm_tpu.config import Config, DataConfig, DiffusionConfig, ModelConfig
+    from ldm_tpu.data.datasets import synthetic_dataset
+    from ldm_tpu.data.loader import DataLoader
+    from ldm_tpu.factory import build_diffusion, build_model
+    from ldm_tpu.training.diffusion_trainer import DiffusionTrainer
+
+    cfg = Config(
+        project_name="cadence", workdir=str(tmp_path), epochs=3, batch_size=8,
+        use_amp=False, seed=0, sample_every=100, checkpoint_every=100,
+        model=ModelConfig(params=dict(
+            in_channels=1, out_channels=1, channels=8,
+            channel_multipliers=[1], num_classes=10,
+        )),
+        diffusion=DiffusionConfig(n_steps=4),
+        data=DataConfig(dataset="SYNTHETIC", image_size=8, image_channels=1),
+    )
+    ds = synthetic_dataset(24, 8, 1, seed=0)
+    tr = DiffusionTrainer(
+        cfg, build_model(cfg), build_diffusion(cfg),
+        DataLoader(ds, 8, seed=0), DataLoader(ds, 8, seed=1),
+        classes=list(range(10)),
+    )
+    calls = {"n": 0}
+    orig = tr.sample
+    tr.sample = lambda *a, **k: calls.__setitem__("n", calls["n"] + 1) or orig(*a, **k)
+    tr.train()
+    # sample_every=100 > epochs, except epoch 0 (0 % 100 == 0 fires once)
+    assert calls["n"] == 1
+    # no per-epoch latest-state writes at cadence 100...
+    assert not os.path.exists(f"{cfg.checkpoints}/state.msgpack")
+    # ...but the best checkpoint flushed at train() end
+    assert os.path.exists(f"{cfg.checkpoints}/diffusion_model.msgpack")
+    assert os.path.exists(f"{cfg.checkpoints}/best_state.msgpack")
