@@ -78,3 +78,60 @@ def test_get_dataset_debugging_truncates_to_20():
 def test_get_dataset_fallback_resizes():
     ds = get_dataset("MNIST", data_path="/nonexistent", image_size=32)
     assert ds.images.shape[1:] == (32, 32, 1)
+
+
+def test_mnist_idx_reader(tmp_path):
+    """Parse fabricated IDX ubyte files (the torchvision MNIST/raw layout)."""
+    import gzip
+    import struct
+
+    from ldm_tpu.data.datasets import load_mnist
+
+    raw = tmp_path / "MNIST" / "raw"
+    raw.mkdir(parents=True)
+    n, rows, cols = 6, 28, 28
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 256, size=(n, rows, cols), dtype=np.uint8)
+    labels = rng.integers(0, 10, size=(n,), dtype=np.uint8)
+    with open(raw / "train-images-idx3-ubyte", "wb") as f:
+        f.write(struct.pack(">IIII", 2051, n, rows, cols))
+        f.write(images.tobytes())
+    # labels gzipped: the reader must handle .gz transparently
+    with gzip.open(raw / "train-labels-idx1-ubyte.gz", "wb") as f:
+        f.write(struct.pack(">II", 2049, n))
+        f.write(labels.tobytes())
+    ds = load_mnist(str(tmp_path), train=True)
+    assert ds is not None and len(ds) == n
+    np.testing.assert_array_equal(ds.images[:, :, :, 0], images)
+    np.testing.assert_array_equal(ds.labels, labels.astype(np.int32))
+
+
+def test_cifar10_pickle_reader(tmp_path):
+    """Parse fabricated cifar-10-batches-py pickles (torchvision's layout)."""
+    import pickle
+
+    from ldm_tpu.data.datasets import load_cifar10
+
+    root = tmp_path / "cifar-10-batches-py"
+    root.mkdir(parents=True)
+    rng = np.random.default_rng(1)
+
+    def write(path, n):
+        data = rng.integers(0, 256, size=(n, 3 * 32 * 32), dtype=np.uint8)
+        labels = rng.integers(0, 10, size=(n,)).tolist()
+        with open(path, "wb") as f:
+            pickle.dump({b"data": data, b"labels": labels}, f)
+        return data, labels
+
+    d1, l1 = write(root / "data_batch_1", 4)
+    d2, l2 = write(root / "data_batch_2", 4)
+    write(root / "test_batch", 3)
+
+    ds = load_cifar10(str(tmp_path), train=True)
+    assert ds is not None and len(ds) == 8
+    # NHWC conversion of the first image: CHW -> HWC
+    want = d1[0].reshape(3, 32, 32).transpose(1, 2, 0)
+    np.testing.assert_array_equal(ds.images[0], want)
+    np.testing.assert_array_equal(ds.labels, np.asarray(l1 + l2, np.int32))
+    test = load_cifar10(str(tmp_path), train=False)
+    assert test is not None and len(test) == 3
