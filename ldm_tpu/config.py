@@ -115,6 +115,21 @@ class Config:
     autoencoder: Optional[ModelConfig] = None
     ae_checkpoint: str = ""
 
+    def __post_init__(self) -> None:
+        # Cadence knobs feed modulo checks in the trainers — 0 means "never"
+        # (handled explicitly there); negative values are config errors.
+        for knob in ("sample_every", "checkpoint_every"):
+            v = getattr(self, knob)
+            if not isinstance(v, int) or v < 0:
+                raise ValueError(
+                    f"config.{knob} must be a non-negative int (0 = never), got {v!r}"
+                )
+        if self.batch_size < 1 or self.epochs < 0:
+            raise ValueError(
+                f"batch_size >= 1 and epochs >= 0 required, got "
+                f"batch_size={self.batch_size}, epochs={self.epochs}"
+            )
+
     # ------------------------------------------------------------------ paths
     @property
     def dirpath(self) -> str:

@@ -121,16 +121,20 @@ def run_augmentation_experiment(
     save_png: bool = False,
     classifier_epochs: Optional[int] = None,
     classifier_arch: Optional[dict] = None,
+    logger: Optional[MetricsLogger] = None,
+    strict_data: bool = False,
 ) -> AugmentationResult:
-    logger = MetricsLogger(config.dirpath, config.project_name)
+    logger = logger or MetricsLogger(config.dirpath, config.project_name)
     config.create_dirs()
     d = config.data
 
     # ---- data: 50/50 split, then 90/10 train/val each (main.py:123-135) ----
     full = get_dataset(d.dataset, d.data_path, d.image_size, train=True,
-                       debugging=config.debugging)
+                       debugging=config.debugging,
+                       allow_synthetic_fallback=not strict_data)
     test = get_dataset(d.dataset, d.data_path, d.image_size, train=False,
-                       debugging=config.debugging)
+                       debugging=config.debugging,
+                       allow_synthetic_fallback=not strict_data)
     perm = np.random.default_rng(config.seed).permutation(len(full))
     half = len(full) // 2
     ds_diff = full.subset(perm[:half])

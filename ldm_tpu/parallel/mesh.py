@@ -28,7 +28,10 @@ def create_mesh(
     data: int = -1,
     model: int = 1,
 ) -> Mesh:
-    """Build a (data, model) mesh over the given devices (default: all local).
+    """Build a (data, model) mesh over the given devices (default: ALL devices —
+    ``jax.devices()`` is the global list, so after ``jax.distributed.initialize``
+    (parallel.distributed.initialize) the same call spans every host of a pod
+    slice; collectives ride ICI within a slice and DCN across slices).
 
     ``data=-1`` consumes all devices not used by ``model``.  For a v5e-8 slice this
     is an 8-way DP mesh whose collectives ride ICI.
@@ -58,11 +61,14 @@ def shard_batch(mesh: Optional[Mesh], batch: Any) -> Any:
 
     This replaces the reference's per-batch ``.to(device)`` host→device copies
     (src/DiffusionModelTrainer.py:37) with an explicit sharded transfer.
+    Multi-process, each host materializes only its own shard of the global batch
+    (parallel.distributed.host_to_global).
     """
     if mesh is None:
         return batch
-    sh = data_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    from ldm_tpu.parallel.distributed import tree_host_to_global
+
+    return tree_host_to_global(data_sharding(mesh), batch)
 
 
 def global_batch_multiple(mesh: Optional[Mesh]) -> int:

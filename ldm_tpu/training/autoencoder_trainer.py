@@ -89,7 +89,6 @@ class AutoencoderTrainer:
             self._make_step(train=True), self.train_loader, mesh=self.mesh,
             enabled=getattr(config, "scan_epochs", True),
         )
-        self._scan_epoch = 0
         self.early_stopping = EarlyStopping(
             patience=config.early_stopping_patience, verbose=True,
             save_fn=self._save_best,
@@ -143,8 +142,10 @@ class AutoencoderTrainer:
         from ldm_tpu.parallel.mesh import global_batch_multiple
 
         if train and self._epoch_scan:
-            self.state, outs = self._epoch_scan(self.state, self._scan_epoch)
-            self._scan_epoch += 1
+            # shuffle-epoch index from the optimizer step, not a local counter —
+            # resumed runs continue the permutation stream (ADVICE.md round 1)
+            epoch_idx = int(self.state.step) // self._epoch_scan.n_batches
+            self.state, outs = self._epoch_scan(self.state, epoch_idx)
             return float(np.mean(jax.device_get(outs["loss"])))
         n_div = global_batch_multiple(self.mesh)
         losses = []

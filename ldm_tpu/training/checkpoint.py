@@ -43,6 +43,10 @@ def _atomic_write(path: str, data: bytes) -> None:
 
 
 def save_state(path: str, state: TrainState) -> str:
+    """Multi-host: the state is replicated, so only process 0 writes — N hosts
+    racing on one shared filesystem path would corrupt/duplicate checkpoints."""
+    if jax.process_index() != 0:
+        return path
     _atomic_write(path, serialization.to_bytes(_state_dict(state)))
     return path
 
@@ -62,7 +66,10 @@ def restore_state(path: str, template: TrainState) -> TrainState:
 
 def save_params(path: str, params: Any) -> str:
     """Weights-only save — parity with the reference's ``torch.save(state_dict)``
-    (src/EarlyStopping.py:63) for generate_images-style reload."""
+    (src/EarlyStopping.py:63) for generate_images-style reload.  Process-0 only,
+    like save_state."""
+    if jax.process_index() != 0:
+        return path
     _atomic_write(path, serialization.to_bytes(params))
     return path
 

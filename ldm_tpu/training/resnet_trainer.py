@@ -79,7 +79,6 @@ class ResNetTrainer:
             self._train_body, self.train_loader, mesh=self.mesh,
             enabled=getattr(config, "scan_epochs", True),
         )
-        self._scan_epoch = 0
         self.early_stopping = EarlyStopping(
             patience=config.early_stopping_patience, verbose=True,
             save_fn=self._save_best,
@@ -206,9 +205,11 @@ class ResNetTrainer:
             }[mode]
         training = mode in ("train", "pretrain")
         if training and dataloader is self.train_loader and self._epoch_scan:
-            # one dispatch for the whole epoch (scan_epochs.py)
-            self.state, outs = self._epoch_scan(self.state, self._scan_epoch)
-            self._scan_epoch += 1
+            # one dispatch for the whole epoch (scan_epochs.py); the shuffle-epoch
+            # index derives from the optimizer step so a resumed/re-created trainer
+            # continues the permutation stream (ADVICE.md round 1)
+            epoch_idx = int(self.state.step) // self._epoch_scan.n_batches
+            self.state, outs = self._epoch_scan(self.state, epoch_idx)
             outs = jax.device_get(outs)
             stats = {
                 k: float(v)
@@ -263,7 +264,8 @@ class ResNetTrainer:
                 step=epoch,
             )
             self.early_stopping(va["loss"], self.state)
-            if (epoch + 1) % getattr(self.config, "checkpoint_every", 1) == 0:
+            ce = getattr(self.config, "checkpoint_every", 1)
+            if ce > 0 and (epoch + 1) % ce == 0:
                 self._flush_best()
             if self.early_stopping.early_stop:
                 print("Early stopping")

@@ -73,11 +73,16 @@ def build_epoch_scan(
     if n_batches == 0 or b % global_batch_multiple(mesh) != 0:
         return None
 
-    imgs = jnp.asarray(ds.images)  # uint8, 4x smaller than fp32 in HBM
-    labels = jnp.asarray(np.asarray(ds.labels, np.int32))
     if mesh is not None:
+        # replicated across all devices (multi-process-safe placement)
+        from ldm_tpu.parallel.distributed import host_to_global
+
         rep = replicated(mesh)
-        imgs, labels = jax.device_put(imgs, rep), jax.device_put(labels, rep)
+        imgs = host_to_global(rep, np.asarray(ds.images))
+        labels = host_to_global(rep, np.asarray(ds.labels, np.int32))
+    else:
+        imgs = jnp.asarray(ds.images)  # uint8, 4x smaller than fp32 in HBM
+        labels = jnp.asarray(np.asarray(ds.labels, np.int32))
     shuffle = bool(getattr(loader, "shuffle", True))
 
     def epoch_fn(state, images, labels, epoch_key):

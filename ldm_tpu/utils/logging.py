@@ -15,6 +15,27 @@ import time
 from typing import Any, Dict, Optional
 
 
+def _global_norm(tree):
+    """One jitted dispatch for sqrt(sum of squared leaves) — per-leaf eager ops
+    would pay the ~20 ms tunnel latency hundreds of times."""
+    import jax
+
+    global _global_norm_fn
+    if _global_norm_fn is None:
+        import jax.numpy as jnp
+        import optax
+
+        _global_norm_fn = jax.jit(
+            lambda t: optax.global_norm(
+                jax.tree.map(lambda x: x.astype(jnp.float32), t)
+            )
+        )
+    return _global_norm_fn(tree)
+
+
+_global_norm_fn = None
+
+
 class MetricsLogger:
     def __init__(
         self,
@@ -23,11 +44,20 @@ class MetricsLogger:
         use_wandb: bool = False,
         quiet: bool = False,
     ):
-        self.quiet = quiet
-        self._file = None
-        if dirpath:
+        import jax
+
+        # Multi-host: metrics are replicated — host-side sinks (stdout, file,
+        # wandb) live on process 0 only; other processes log nothing.
+        primary = jax.process_index() == 0
+        self._primary = primary
+        self.quiet = quiet or not primary
+        # Open-per-write (the log cadence is once per epoch): no handle is ever
+        # left dangling by trainers that don't own the logger's lifecycle.
+        self._path = None
+        if dirpath and primary:
             os.makedirs(dirpath, exist_ok=True)
-            self._file = open(os.path.join(dirpath, "metrics.jsonl"), "a")
+            self._path = os.path.join(dirpath, "metrics.jsonl")
+        use_wandb = use_wandb and primary
         self._wandb = None
         if use_wandb:
             try:
@@ -49,15 +79,21 @@ class MetricsLogger:
                 if k != "ts"
             )
             print(msg, flush=True)
-        if self._file:
-            self._file.write(json.dumps(rec) + "\n")
-            self._file.flush()
+        if self._path:
+            with open(self._path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
         if self._wandb is not None:
-            self._wandb.log(metrics, step=step)
+            self._wandb.log(
+                {k: (float(v) if hasattr(v, "item") else v)
+                 for k, v in metrics.items()},
+                step=step,
+            )
 
     def log_images(self, images, step: int, mode: str, dirpath: Optional[str] = None):
         """Save an image grid to disk (and wandb if enabled) — the reference logs
         sample grids to wandb every 2 epochs (src/DiffusionModelTrainer.py:140-143)."""
+        if not self._primary:
+            return
         from ldm_tpu.utils.images import image_grid, save_images
 
         grid = image_grid(images)
@@ -67,6 +103,12 @@ class MetricsLogger:
         if self._wandb is not None:
             self._wandb.log({f"{mode}/images": [self._wandb.Image(grid)]}, step=step)
 
+    def log_norms(self, tag: str, tree, step: int) -> None:
+        """Per-epoch parameter/gradient global-norm logging — the stand-in for the
+        reference's ``wandb.watch(model, log="all", log_freq=10)`` (main.py:184-186):
+        one cheap jitted on-device reduction instead of per-tensor histograms."""
+        norm = _global_norm(tree)
+        self.log({f"{tag}_global_norm": float(norm)}, step=step)
+
     def close(self) -> None:
-        if self._file:
-            self._file.close()
+        """Kept for API compatibility — writes are open-per-call, nothing to close."""

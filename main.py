@@ -19,10 +19,11 @@ sys.path.insert(0, ".")
 
 
 def main() -> None:
+    from ldm_tpu.utils.cli import add_runtime_args, runtime_setup
+
     ap = argparse.ArgumentParser()
     ap.add_argument("config")
-    ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--mesh", action="store_true")
+    add_runtime_args(ap)
     ap.add_argument("--per-class", type=int, default=None,
                     help="synthetic images per class (default: |diffusion half| / 10)")
     ap.add_argument("--save-png", action="store_true",
@@ -30,25 +31,22 @@ def main() -> None:
     ap.add_argument("--classifier-epochs", type=int, default=None)
     args = ap.parse_args()
 
-    import jax
-
-    if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
-
     from ldm_tpu.config import load_config
     from ldm_tpu.experiments.augmentation import run_augmentation_experiment
-    from ldm_tpu.parallel.mesh import create_mesh
     from ldm_tpu.utils.seed import apply_runtime_flags, set_seed
 
     config = load_config(args.config)
+    mesh, logger = runtime_setup(args, config)
     set_seed(config.seed)
     apply_runtime_flags(config)
     result = run_augmentation_experiment(
         config,
-        mesh=create_mesh() if args.mesh else None,
+        mesh=mesh,
         n_per_class=args.per_class,
         save_png=args.save_png,
         classifier_epochs=args.classifier_epochs,
+        logger=logger,
+        strict_data=args.strict_data,
     )
     print(json.dumps({"test_f1": result.test_f1,
                       "synthetic_size": result.synthetic_size,

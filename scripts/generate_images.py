@@ -20,7 +20,9 @@ def main() -> None:
     ap.add_argument("config")
     ap.add_argument("--per-class", type=int, default=1)
     ap.add_argument("--cfg-scale", type=float, default=None)
-    ap.add_argument("--ema", action="store_true", default=True)
+    # --ema / --no-ema (store_true with default=True made EMA impossible to
+    # disable — VERDICT.md round 1, weak #6)
+    ap.add_argument("--ema", action=argparse.BooleanOptionalAction, default=True)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 

@@ -14,36 +14,33 @@ sys.path.insert(0, ".")
 
 
 def main() -> None:
+    from ldm_tpu.utils.cli import add_runtime_args, runtime_setup
+
     ap = argparse.ArgumentParser()
     ap.add_argument("config")
-    ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--mesh", action="store_true")
+    add_runtime_args(ap)
     args = ap.parse_args()
-
-    import jax
-
-    if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
 
     from ldm_tpu.config import load_config
     from ldm_tpu.data.loader import create_dataloaders
-    from ldm_tpu.parallel.mesh import create_mesh
     from ldm_tpu.registry import instantiate_from_config
     from ldm_tpu.factory import compute_dtype
     from ldm_tpu.training.autoencoder_trainer import AutoencoderTrainer
     from ldm_tpu.utils.seed import apply_runtime_flags, set_seed
 
     config = load_config(args.config)
+    mesh, logger = runtime_setup(args, config)
     set_seed(config.seed)
     apply_runtime_flags(config)
-    train_loader, val_loader, _test, _classes = create_dataloaders(config)
+    train_loader, val_loader, _test, _classes = create_dataloaders(
+        config, allow_synthetic_fallback=not args.strict_data
+    )
     model = instantiate_from_config(
         {"target": config.model.target, "params": config.model.params},
         dtype=compute_dtype(config),
     )
     trainer = AutoencoderTrainer(
-        config, model, train_loader, val_loader,
-        mesh=create_mesh() if args.mesh else None,
+        config, model, train_loader, val_loader, mesh=mesh, logger=logger,
     )
     trainer.train()
 

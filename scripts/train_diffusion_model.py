@@ -15,28 +15,22 @@ sys.path.insert(0, ".")
 
 
 def main() -> None:
+    from ldm_tpu.utils.cli import add_runtime_args, runtime_setup
+
     ap = argparse.ArgumentParser()
     ap.add_argument("config")
     ap.add_argument("--resume", action="store_true",
                     help="resume from the latest full-state checkpoint")
-    ap.add_argument("--cpu", action="store_true", help="force the CPU platform")
-    ap.add_argument("--mesh", action="store_true",
-                    help="data-parallel over all local devices")
+    add_runtime_args(ap)
     ap.add_argument("--epochs", type=int, default=None,
                     help="override the config's epoch count (smoke runs)")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of the run under DIR")
     args = ap.parse_args()
 
-    import jax
-
-    if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
-
     from ldm_tpu.config import load_config
     from ldm_tpu.data.loader import create_dataloaders
     from ldm_tpu.factory import build_diffusion, build_model
-    from ldm_tpu.parallel.mesh import create_mesh
     from ldm_tpu.training.diffusion_trainer import DiffusionTrainer
     from ldm_tpu.utils.seed import apply_runtime_flags, set_seed
 
@@ -47,14 +41,16 @@ def main() -> None:
     config = load_config(args.config)
     if args.epochs is not None:
         config = dataclasses.replace(config, epochs=args.epochs)
+    mesh, logger = runtime_setup(args, config)
     set_seed(config.seed)
     apply_runtime_flags(config)
-    train_loader, val_loader, _test_loader, classes = create_dataloaders(config)
-    mesh = create_mesh() if args.mesh else None
+    train_loader, val_loader, _test_loader, classes = create_dataloaders(
+        config, allow_synthetic_fallback=not args.strict_data
+    )
 
     trainer = DiffusionTrainer(
         config, build_model(config), build_diffusion(config),
-        train_loader, val_loader, classes, mesh=mesh,
+        train_loader, val_loader, classes, mesh=mesh, logger=logger,
     )
     if args.resume and trainer.resume_latest():
         print(f"resumed from step {int(trainer.state.step)}")

@@ -18,17 +18,14 @@ sys.path.insert(0, ".")
 
 
 def main() -> None:
+    from ldm_tpu.utils.cli import add_runtime_args, runtime_setup
+
     ap = argparse.ArgumentParser()
     ap.add_argument("config")
-    ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--mesh", action="store_true")
+    add_runtime_args(ap)
     args = ap.parse_args()
 
     import jax
-
-    if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
-
     import jax.numpy as jnp
 
     from ldm_tpu.config import load_config
@@ -43,6 +40,7 @@ def main() -> None:
 
     config = load_config(args.config)
     assert config.autoencoder is not None, "config needs an autoencoder: block"
+    mesh, logger = runtime_setup(args, config)
     set_seed(config.seed)
     apply_runtime_flags(config)
 
@@ -72,10 +70,12 @@ def main() -> None:
         linear_start=dc.beta_start,
         linear_end=dc.beta_end,
     )
-    train_loader, val_loader, _test, classes = create_dataloaders(config)
+    train_loader, val_loader, _test, classes = create_dataloaders(
+        config, allow_synthetic_fallback=not args.strict_data
+    )
     trainer = LatentDiffusionTrainer(
         config, ldm, ae_params, train_loader, val_loader, classes,
-        mesh=create_mesh() if args.mesh else None,
+        mesh=mesh, logger=logger,
     )
     trainer.train()
 

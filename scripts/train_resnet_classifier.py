@@ -18,22 +18,17 @@ sys.path.insert(0, ".")
 
 
 def main() -> None:
+    from ldm_tpu.utils.cli import add_runtime_args, runtime_setup
+
     ap = argparse.ArgumentParser()
     ap.add_argument("config")
     ap.add_argument("--pretrain-dir", default=None)
-    ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--mesh", action="store_true")
+    add_runtime_args(ap)
     args = ap.parse_args()
-
-    import jax
-
-    if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
 
     from ldm_tpu.config import load_config
     from ldm_tpu.data.loader import DataLoader, create_dataloaders
     from ldm_tpu.factory import build_classifier
-    from ldm_tpu.parallel.mesh import create_mesh
     from ldm_tpu.training.resnet_trainer import ResNetTrainer
     from ldm_tpu.utils.images import load_image_folder
     from ldm_tpu.utils.seed import apply_runtime_flags, set_seed
@@ -41,15 +36,18 @@ def main() -> None:
     config = load_config(args.config)
     if config.loss_fn == "mse":
         config.loss_fn = "cross-entropy"
+    mesh, logger = runtime_setup(args, config)
     set_seed(config.seed)
     apply_runtime_flags(config)
-    train_loader, val_loader, test_loader, classes = create_dataloaders(config)
+    train_loader, val_loader, test_loader, classes = create_dataloaders(
+        config, allow_synthetic_fallback=not args.strict_data
+    )
     model = build_classifier(
         config, config.data.image_channels, len(classes)
     )
     trainer = ResNetTrainer(
         config, model, train_loader, val_loader, classes,
-        test_loader=test_loader, mesh=create_mesh() if args.mesh else None,
+        test_loader=test_loader, mesh=mesh, logger=logger,
     )
     if args.pretrain_dir:
         # grayscale ImageFolder pretraining pass (reference :37-44, :56-61)

@@ -1,0 +1,108 @@
+"""Worker for the 2-process distributed-CPU test (tests/test_multiprocess.py).
+
+Each process sees 2 local virtual CPU devices; after
+``jax.distributed.initialize`` the global mesh spans 4.  Runs one epoch of the
+real DiffusionTrainer (epoch-as-scan + per-batch val) over the global mesh plus
+an explicit DP-vs-local-loss parity check, then prints machine-readable results
+for the parent to compare across processes.
+
+Usage: python _mp_worker.py <coordinator> <num_processes> <process_id> <workdir>
+"""
+
+import os
+import sys
+
+coordinator, num_processes, process_id, workdir = (
+    sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
+)
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
+)
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+from ldm_tpu.parallel import distributed  # noqa: E402
+
+assert distributed.initialize(
+    coordinator_address=coordinator,
+    num_processes=num_processes,
+    process_id=process_id,
+)
+assert jax.process_count() == num_processes
+assert jax.device_count() == 2 * num_processes, jax.devices()
+assert len(jax.local_devices()) == 2
+
+import numpy as np  # noqa: E402
+
+from ldm_tpu.config import Config, DataConfig, DiffusionConfig, ModelConfig  # noqa: E402
+from ldm_tpu.data.datasets import synthetic_dataset  # noqa: E402
+from ldm_tpu.data.loader import DataLoader  # noqa: E402
+from ldm_tpu.factory import build_diffusion, build_model  # noqa: E402
+from ldm_tpu.parallel.mesh import create_mesh, shard_batch  # noqa: E402
+from ldm_tpu.training.diffusion_trainer import DiffusionTrainer  # noqa: E402
+
+mesh = create_mesh()  # global: 4 devices across 2 processes
+assert mesh.devices.size == 4
+
+cfg = Config(
+    project_name="mp", workdir=workdir, epochs=1, batch_size=8,
+    use_amp=False, seed=0, sample_every=0,
+    model=ModelConfig(params=dict(
+        in_channels=1, out_channels=1, channels=8,
+        channel_multipliers=[1], num_classes=10,
+    )),
+    diffusion=DiffusionConfig(n_steps=4),
+    data=DataConfig(dataset="SYNTHETIC", image_size=8, image_channels=1),
+)
+ds = synthetic_dataset(16, 8, 1, seed=0)
+tr = DiffusionTrainer(
+    cfg, build_model(cfg), build_diffusion(cfg),
+    DataLoader(ds, 8, seed=0), DataLoader(ds, 8, seed=1),
+    classes=list(range(10)), mesh=mesh,
+)
+
+# Parity: the DP eval loss over the global mesh must equal the loss computed
+# entirely on THIS process's local device from the same host batch.
+batch = {
+    "image": (ds.images[:8].astype(np.float32) / 255.0) * 2.0 - 1.0,
+    "label": ds.labels[:8].astype(np.int32),
+    "index": np.zeros((8,), np.int32),
+}
+dp_loss = float(tr._eval_step(tr.state, shard_batch(mesh, batch))["loss"])
+
+import jax.numpy as jnp  # noqa: E402
+
+local_state = jax.device_get(tr.state)
+
+
+def local_eval(params, key, image, label):
+    eps, xt, t = tr.diffusion.noise_batch(key, image)
+    eps_theta = tr.model.apply(params, xt, t, label)
+    # mirror _eval_step's cfg path with cfg=3.0
+    null = tr.model.num_classes
+    eps_u = tr.model.apply(params, xt, t, jnp.full_like(label, null))
+    eps_theta = eps_u + 3.0 * (eps_theta - eps_u)
+    return jnp.mean((eps.astype(jnp.float32) - eps_theta) ** 2)
+
+
+key = jax.random.fold_in(jax.random.fold_in(tr.state.key, 0x5EED), 0)
+k_noise, _ = jax.random.split(key)
+ref_loss = float(jax.jit(local_eval)(
+    local_state.params, k_noise, jnp.asarray(batch["image"]),
+    jnp.asarray(batch["label"]),
+))
+assert abs(dp_loss - ref_loss) < 1e-5, (dp_loss, ref_loss)
+
+# One full epoch through the real trainer (scan-epoch fast path + per-batch val
+# + process-0-only checkpoints/metrics).
+hist = tr.train()
+
+print(f"MPRESULT {process_id} train={hist['train_loss'][0]:.8f} "
+      f"val={hist['val_loss'][0]:.8f} dp_eval={dp_loss:.8f} "
+      f"step={int(tr.state.step)}", flush=True)

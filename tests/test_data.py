@@ -106,6 +106,101 @@ def test_mnist_idx_reader(tmp_path):
     np.testing.assert_array_equal(ds.labels, labels.astype(np.int32))
 
 
+def test_strict_data_no_silent_fallback(tmp_path):
+    """allow_synthetic_fallback=False (the CLI --strict-data flag) must raise
+    when the raw files are absent instead of silently training on synthetic."""
+    import pytest
+
+    from ldm_tpu.config import Config, DataConfig
+    from ldm_tpu.data.loader import create_dataloaders
+
+    with pytest.raises(FileNotFoundError):
+        get_dataset("MNIST", data_path=str(tmp_path), image_size=32,
+                    allow_synthetic_fallback=False)
+    cfg = Config(data=DataConfig(dataset="CIFAR10", data_path=str(tmp_path)))
+    with pytest.raises(FileNotFoundError):
+        create_dataloaders(cfg, allow_synthetic_fallback=False)
+
+
+def test_full_size_mnist_roundtrip_through_dataloaders(tmp_path):
+    """Full-size fabricated MNIST (60k/10k, 28x28) through create_dataloaders in
+    strict mode: the real-data readiness drill (VERDICT.md round 1, missing #4) —
+    resize to 32, 90/10 split, correct batch shapes, no synthetic fallback."""
+    import struct
+
+    from ldm_tpu.config import Config, DataConfig
+    from ldm_tpu.data.loader import create_dataloaders
+
+    raw = tmp_path / "MNIST" / "raw"
+    raw.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+
+    def write(prefix, n):
+        images = rng.integers(0, 256, size=(n, 28, 28), dtype=np.uint8)
+        labels = (np.arange(n) % 10).astype(np.uint8)
+        with open(raw / f"{prefix}-images-idx3-ubyte", "wb") as f:
+            f.write(struct.pack(">IIII", 2051, n, 28, 28))
+            f.write(images.tobytes())
+        with open(raw / f"{prefix}-labels-idx1-ubyte", "wb") as f:
+            f.write(struct.pack(">II", 2049, n))
+            f.write(labels.tobytes())
+
+    write("train", 60_000)
+    write("t10k", 10_000)
+
+    cfg = Config(
+        batch_size=128,
+        data=DataConfig(dataset="MNIST", data_path=str(tmp_path),
+                        image_size=32, image_channels=1, val_split=0.1),
+    )
+    tl, vl, test_l, classes = create_dataloaders(
+        cfg, allow_synthetic_fallback=False
+    )
+    assert classes == list(range(10))
+    assert len(tl.dataset) == 54_000 and len(vl.dataset) == 6_000
+    assert len(test_l.dataset) == 10_000
+    assert tl.dataset.name == "MNIST"  # not the synthetic stand-in
+    b = next(iter(tl))
+    assert b["image"].shape == (128, 32, 32, 1)
+    assert b["image"].dtype == np.float32
+    assert -1.0 <= b["image"].min() and b["image"].max() <= 1.0
+
+
+def test_full_size_cifar10_roundtrip_through_dataloaders(tmp_path):
+    """Full-size fabricated CIFAR-10 (5x10k train batches + 10k test) through
+    create_dataloaders in strict mode."""
+    import pickle
+
+    from ldm_tpu.config import Config, DataConfig
+    from ldm_tpu.data.loader import create_dataloaders
+
+    root = tmp_path / "cifar-10-batches-py"
+    root.mkdir(parents=True)
+    rng = np.random.default_rng(1)
+
+    def write(path, n):
+        with open(path, "wb") as f:
+            pickle.dump({
+                b"data": rng.integers(0, 256, size=(n, 3072), dtype=np.uint8),
+                b"labels": (np.arange(n) % 10).tolist(),
+            }, f)
+
+    for i in range(1, 6):
+        write(root / f"data_batch_{i}", 10_000)
+    write(root / "test_batch", 10_000)
+
+    cfg = Config(
+        batch_size=64,
+        data=DataConfig(dataset="CIFAR10", data_path=str(tmp_path),
+                        image_size=32, image_channels=3, val_split=0.1),
+    )
+    tl, vl, test_l, _ = create_dataloaders(cfg, allow_synthetic_fallback=False)
+    assert len(tl.dataset) == 45_000 and len(vl.dataset) == 5_000
+    assert len(test_l.dataset) == 10_000
+    b = next(iter(tl))
+    assert b["image"].shape == (64, 32, 32, 3)
+
+
 def test_cifar10_pickle_reader(tmp_path):
     """Parse fabricated cifar-10-batches-py pickles (torchvision's layout)."""
     import pickle

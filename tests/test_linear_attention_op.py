@@ -71,7 +71,11 @@ def test_custom_vjp_grads_match_xla():
     g_op = jax.grad(loss_op, argnums=tuple(range(8)))(*args)
     g_xla = jax.grad(loss_xla, argnums=tuple(range(8)))(*args)
     for a, b in zip(g_op, g_xla):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+        # grads are O(100); rtol covers the fp32 rounding difference between
+        # the kernel forward's cotangent and the XLA forward's
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-4
+        )
 
 
 def test_linattnblock_module_matches_naive_composition():

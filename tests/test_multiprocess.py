@@ -1,0 +1,61 @@
+"""Multi-process (multi-host) DP: 2 JAX processes x 2 virtual CPU devices each.
+
+The TPU-native counterpart of a 2-host pod slice (SURVEY.md §2 parallelism plan:
+per-host data sharding over a global mesh, DCN collectives inserted by XLA).
+Spawns two real OS processes that form a jax.distributed cluster, runs the real
+DiffusionTrainer over the 4-device global mesh in each, and checks:
+
+* DP loss == locally-computed single-device loss (no silent sharding bug);
+* both processes see identical training history (SPMD consistency);
+* checkpoints and metrics files are written by process 0 ONLY.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_dp_training(tmp_path):
+    port = _free_port()
+    worker = os.path.join(os.path.dirname(__file__), "_mp_worker.py")
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    # isolate from the parent's 8-device flag; workers set their own
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, f"127.0.0.1:{port}", "2", str(i),
+             str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for i, p in enumerate(procs):
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, f"proc {i} failed:\n{out}\n{err}"
+        lines = [ln for ln in out.splitlines() if ln.startswith("MPRESULT")]
+        assert lines, f"proc {i} printed no result:\n{out}\n{err}"
+        outs.append(lines[0].split())
+
+    # identical SPMD results on both processes
+    assert outs[0][2:] == outs[1][2:], outs
+
+    # process-0-only host-side effects: exactly one writer of checkpoints/metrics
+    ckpt = tmp_path / "pixel" / "mp" / "checkpoints" / "state.msgpack"
+    assert ckpt.exists()
+    metrics = tmp_path / "pixel" / "mp" / "metrics.jsonl"
+    assert metrics.exists()
+    records = [json.loads(ln) for ln in metrics.read_text().splitlines()]
+    # one epoch, one writer -> exactly one epoch-0 record (two writers would
+    # duplicate it)
+    assert sum(1 for r in records if r.get("epoch") == 0) == 1

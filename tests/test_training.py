@@ -160,6 +160,50 @@ def test_scan_epochs_flag_gates_fast_path(tmp_path):
     assert np.isfinite(hist["train_loss"][0])
 
 
+def test_scan_epoch_matches_per_batch(tmp_path):
+    """With shuffle=False the epoch-as-scan fast path and the per-batch fallback
+    see identical batch sequences and PRNG streams, so they must compute the same
+    math: equal loss histories and equal final params (VERDICT.md round 1, weak #3)."""
+    import dataclasses
+
+    base = Config(
+        project_name="scaneq", epochs=2, batch_size=16, use_amp=False, seed=5,
+        sample_every=0,
+        model=ModelConfig(params=dict(
+            in_channels=1, out_channels=1, channels=8,
+            channel_multipliers=[1], num_classes=10,
+        )),
+        diffusion=DiffusionConfig(n_steps=4),
+        data=DataConfig(dataset="SYNTHETIC", image_size=8, image_channels=1),
+    )
+    ds = synthetic_dataset(48, 8, 1, seed=0)
+
+    def run(scan: bool, workdir):
+        cfg = dataclasses.replace(base, workdir=workdir, scan_epochs=scan)
+        tr = DiffusionTrainer(
+            cfg, build_model(cfg), build_diffusion(cfg),
+            DataLoader(ds, 16, shuffle=False, seed=0),
+            DataLoader(ds, 16, shuffle=False, seed=1),
+            classes=list(range(10)),
+        )
+        assert (tr._epoch_scan is not None) == scan
+        hist = tr.train()
+        return hist, tr.state
+
+    h_scan, s_scan = run(True, str(tmp_path / "scan"))
+    h_batch, s_batch = run(False, str(tmp_path / "batch"))
+    np.testing.assert_allclose(
+        h_scan["train_loss"], h_batch["train_loss"], rtol=1e-6
+    )
+    np.testing.assert_allclose(h_scan["val_loss"], h_batch["val_loss"], rtol=1e-6)
+    # params: each Adam step moves ~lr regardless of grad scale, so last-ulp
+    # XLA-fusion differences (scan-wrapped vs standalone step) amplify to a few
+    # lr per step; a real math mismatch (wrong batch order/scaling) diverges at
+    # O(0.1) and the 1e-6 loss check above would already have caught it
+    for a, b in zip(jax.tree.leaves(s_scan.params), jax.tree.leaves(s_batch.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+
+
 def test_epoch_scan_eligibility_gates():
     """build_epoch_scan must decline loaders it can't faithfully compile."""
     from ldm_tpu.data.datasets import synthetic_dataset
@@ -215,10 +259,48 @@ def test_checkpoint_and_sample_cadence(tmp_path, monkeypatch):
     orig = tr.sample
     tr.sample = lambda *a, **k: calls.__setitem__("n", calls["n"] + 1) or orig(*a, **k)
     tr.train()
-    # sample_every=100 > epochs, except epoch 0 (0 % 100 == 0 fires once)
-    assert calls["n"] == 1
-    # no per-epoch latest-state writes at cadence 100...
-    assert not os.path.exists(f"{cfg.checkpoints}/state.msgpack")
-    # ...but the best checkpoint flushed at train() end
+    # sample_every=100 > epochs, and epoch 0 (untrained params) never samples
+    assert calls["n"] == 0
+    # the latest state AND the best checkpoint always flush at train() end,
+    # regardless of cadence — --resume must never see a stale state.msgpack
+    assert os.path.exists(f"{cfg.checkpoints}/state.msgpack")
     assert os.path.exists(f"{cfg.checkpoints}/diffusion_model.msgpack")
     assert os.path.exists(f"{cfg.checkpoints}/best_state.msgpack")
+
+
+def test_cadence_zero_means_never(tmp_path):
+    """sample_every=0 / checkpoint_every=0 disable the cadences outright
+    (a 0 used to ZeroDivisionError at the modulo checks — ADVICE.md round 1)."""
+    import os
+
+    from ldm_tpu.config import Config, DataConfig, DiffusionConfig, ModelConfig
+    from ldm_tpu.data.datasets import synthetic_dataset
+    from ldm_tpu.data.loader import DataLoader
+    from ldm_tpu.factory import build_diffusion, build_model
+    from ldm_tpu.training.diffusion_trainer import DiffusionTrainer
+
+    cfg = Config(
+        project_name="cadence0", workdir=str(tmp_path), epochs=2, batch_size=8,
+        use_amp=False, seed=0, sample_every=0, checkpoint_every=0,
+        model=ModelConfig(params=dict(
+            in_channels=1, out_channels=1, channels=8,
+            channel_multipliers=[1], num_classes=10,
+        )),
+        diffusion=DiffusionConfig(n_steps=4),
+        data=DataConfig(dataset="SYNTHETIC", image_size=8, image_channels=1),
+    )
+    ds = synthetic_dataset(24, 8, 1, seed=0)
+    tr = DiffusionTrainer(
+        cfg, build_model(cfg), build_diffusion(cfg),
+        DataLoader(ds, 8, seed=0), DataLoader(ds, 8, seed=1),
+        classes=list(range(10)),
+    )
+    tr.sample = lambda *a, **k: pytest.fail("sample_every=0 must never sample")
+    tr.train()
+    # final-state write still happens (resume safety), best flushed at end
+    assert os.path.exists(f"{cfg.checkpoints}/state.msgpack")
+
+    with pytest.raises(ValueError):
+        Config(sample_every=-1)
+    with pytest.raises(ValueError):
+        Config(checkpoint_every=-2)
