@@ -67,8 +67,18 @@ def build():
     return model, diffusion, params
 
 
-def bench_scan_sampler(model, diffusion, params, batch: int) -> float:
-    """Our design: whole T-step loop as one on-device lax.scan, batched CFG."""
+V5E_BF16_PEAK_FLOPS = 197e12  # TPU v5e: 197 TFLOP/s bf16 (394 int8)
+
+
+def bench_scan_sampler(model, diffusion, params, batch: int,
+                       want_mfu: bool = False):
+    """Our design: whole T-step loop as one on-device lax.scan, batched CFG.
+
+    Returns imgs/sec, or (imgs/sec, mfu) with ``want_mfu`` — MFU from XLA's own
+    cost analysis of the compiled sampler (the scan body is counted once, i.e.
+    the reported FLOPs are per step; verified on-chip in runs/perf/probe1.py
+    where flops/T/batch is constant across batch sizes at ~14.6 MFLOP/img/step).
+    """
     classes = jnp.arange(batch, dtype=jnp.int32) % 10
 
     @jax.jit
@@ -78,13 +88,29 @@ def bench_scan_sampler(model, diffusion, params, batch: int) -> float:
             cfg_scale=3.0, null_label=10,
         )
 
+    flops_per_step = None
+    if want_mfu:
+        try:
+            ca = run.lower(params, jax.random.key(0)).compile().cost_analysis()
+            flops_per_step = float(ca.get("flops", 0.0)) or None
+        except Exception:
+            flops_per_step = None
     np.asarray(run(params, jax.random.key(0)))  # compile + full completion
     times = []
     for i in range(3):
         t0 = time.perf_counter()
         np.asarray(run(params, jax.random.key(i + 1)))
         times.append(time.perf_counter() - t0)
-    return batch / min(times)
+    dt = min(times)
+    imgs_per_sec = batch / dt
+    if not want_mfu:
+        return imgs_per_sec
+    mfu = None
+    if flops_per_step:
+        mfu = flops_per_step * diffusion.n_steps / dt / V5E_BF16_PEAK_FLOPS
+        if mfu > 1.0:  # cost analysis multiplied the trip count after all
+            mfu /= diffusion.n_steps
+    return imgs_per_sec, mfu
 
 
 def bench_reference_style(model, diffusion, params, batch: int,
@@ -175,23 +201,44 @@ def bench_reference_torch_cpu(batch: int = 16, n_steps: int = 5) -> float:
     with torch.no_grad():
         tv = torch.full((batch,), T - 1, dtype=torch.long)
         model(xt, tv, classes)  # warmup
-        t0 = time.perf_counter()
-        for i in range(n_steps):
-            tv = torch.full((batch,), T - 1 - i, dtype=torch.long)
-            eps_c = model(xt, tv, classes)
-            eps_u = model(xt, tv, None)
-            eps = torch.lerp(eps_u, eps_c, 3.0)
-            xt = diff.p_sample(xt, tv, eps)
-        dt = (time.perf_counter() - t0) / n_steps
-    return batch / (dt * T)
+        # min over repeats: a single noisy timing on the 1-core host CPU drifted
+        # run to run (ADVICE.md round 1) — min is the standard low-noise estimator
+        per_step = []
+        for rep in range(3):
+            t0 = time.perf_counter()
+            for i in range(n_steps):
+                tv = torch.full((batch,), T - 1 - i, dtype=torch.long)
+                eps_c = model(xt, tv, classes)
+                eps_u = model(xt, tv, None)
+                eps = torch.lerp(eps_u, eps_c, 3.0)
+                xt = diff.p_sample(xt, tv, eps)
+            per_step.append((time.perf_counter() - t0) / n_steps)
+    return batch / (min(per_step) * T)
+
+
+def _host_cpu() -> str:
+    """Host CPU model string — part of the baseline cache key (the torch-CPU
+    baseline is host-dependent, so a host change must invalidate it)."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("model name"):
+                    return line.split(":", 1)[1].strip()
+    except OSError:
+        pass
+    import platform
+
+    return platform.processor() or platform.machine()
 
 
 def main():
     n_chips = jax.device_count()
     model, diffusion, params = build()
 
-    ours = {b: bench_scan_sampler(model, diffusion, params, b) / n_chips
-            for b in OUR_BATCHES}
+    ours, mfus = {}, {}
+    for b in OUR_BATCHES:
+        rate, mfu = bench_scan_sampler(model, diffusion, params, b, want_mfu=True)
+        ours[b], mfus[b] = rate / n_chips, mfu
     best_batch = max(ours, key=ours.get)
     imgs_per_sec = ours[best_batch]
     steps_per_sec = bench_train_step(model, diffusion, params)
@@ -215,6 +262,9 @@ def main():
             baseline_info = json.load(f)
         if baseline_info.get("device") != str(jax.devices()[0]):
             baseline_info = {}  # measured on different hardware: re-measure all
+        elif baseline_info.get("host_cpu") not in (None, _host_cpu()):
+            # the torch-CPU number is host-bound; a new host invalidates it
+            baseline_info.pop("reference_torch_cpu_images_per_sec", None)
     changed = False
     if "reference_style_images_per_sec_per_chip" not in baseline_info:
         per_batch = {str(b): bench_reference_style(model, diffusion, params, b)
@@ -235,9 +285,10 @@ def main():
             )
             baseline_info["reference_torch_cpu_note"] = (
                 "the actual reference implementation (/root/reference PyTorch), "
-                "T=1000, batch 16, CPU — the only hardware it can run on in "
-                "this image"
+                "T=1000, batch 16, CPU (min of 3 repeats) — the only hardware "
+                "it can run on in this image"
             )
+            baseline_info["host_cpu"] = _host_cpu()
             changed = True
         except Exception as e:  # reference not importable — keep benching
             print(f"# reference torch CPU baseline unavailable: {e}",
@@ -260,7 +311,12 @@ def main():
         "train_steps_per_sec": round(steps_per_sec, 3),
         "t400_images_per_sec_per_chip": round(t400_imgs, 3),
         "batch": best_batch,
+        # model FLOPs utilization of the sampler at the headline batch, from
+        # XLA cost analysis vs the v5e bf16 peak (197 TFLOP/s)
+        "mfu": round(mfus[best_batch], 4) if mfus.get(best_batch) else None,
         "per_batch": {str(b): round(v, 3) for b, v in ours.items()},
+        "mfu_per_batch": {str(b): (round(m, 4) if m else None)
+                          for b, m in mfus.items()},
         "n_chips": n_chips,
         "device": str(jax.devices()[0]),
     }

@@ -215,17 +215,20 @@ class LinAttnBlock(nn.Module):
     (reference src/UNet.py:192,230) — as ONE op.
 
     Two implementations share this module's parameters and numerics policy (fp32
-    norms and softmax, compute-dtype matmuls):
+    norm statistics, compute-dtype matmuls with fp32 accumulation):
 
-    * ``"xla"`` (default): the MXU-friendly block-diagonal formulation — XLA fuses
-      the norms/softmaxes into the matmuls well at these shapes;
-    * ``"pallas"``: a fused Pallas kernel that keeps the batch item's (N, C) tile
-      and every intermediate in VMEM (ldm_tpu/ops/linear_attention.py).  Measured
-      on a v5e chip at the CIFAR level-1 shape (B=256, N=1024, C=64) it is ~8%
-      SLOWER than the XLA path (2.08 vs 1.92 ms): the block's matmuls are small,
-      the kernel serializes per-item work on the single TensorCore, and XLA's
-      fusion already avoids most HBM round-trips — so it stays opt-in, kept as
-      the template for shapes where kernel fusion does win.
+    * ``"xla"`` (default): the MXU-friendly formulation — block-diagonal context
+      matmul, folded out-projection, and (round 2) lane-layout-native softmaxes:
+      q's per-head softmax via a global-rowwise-max shift + one segment-sum
+      matmul, k's normalization commuted out of the context contraction.  A v5e
+      trace showed the previous 4D-reshape q softmax costing ~40% of the block;
+      the restructure measured 1.33-1.58x faster per block and +27% on the
+      full flagship sampler (runs/perf/, RESULTS.md);
+    * ``"pallas"``: a fused Pallas kernel (same algebra) that keeps the batch
+      item's (N, C) tile and every intermediate in VMEM
+      (ldm_tpu/ops/linear_attention.py).  Measured slower than the XLA path at
+      these shapes (it serializes per-item work on the single TensorCore), so
+      it stays opt-in.
 
     Gradients always flow through the XLA implementation (custom VJP), so training
     is backend-independent.

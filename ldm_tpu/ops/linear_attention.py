@@ -14,19 +14,23 @@ The whole block —
     o   = GroupNorm2(o)                  # src/UNet.py:164
     y   = x + o                          # Residual (src/UNet.py:14-20)
 
-— looks HBM-bandwidth-bound: every intermediate is a (B, N, 128) tensor.  The
-Pallas kernel runs the entire block per batch item in VMEM (a (N, C) tile plus
-(N, 384) intermediates fit comfortably at every UNet level: N <= 1024, C <= 512),
-reading x once and writing y once.
+— is HBM-bandwidth-bound: every intermediate is a (B, N, 128) tensor.
 
-MEASURED OUTCOME (v5e, B=256, N=1024, C=64, bf16): the kernel runs at 2.08-2.24 ms
-vs 1.92 ms for the XLA formulation in models/unet.py (block-diagonal context,
-folded out-projection) — XLA's fusion already avoids most intermediate HBM traffic
-at these shapes, and the kernel serializes small per-item matmuls on the single
-TensorCore (multi-item blocks hit the 16 MB VMEM scoped limit at G>=4).  The UNet
-therefore defaults to the XLA path (``UNet.attention_impl = None -> "xla"``); this
-kernel stays as the opt-in ``"pallas"`` impl and the template for shapes where
-whole-block fusion does win.
+ROUND-2 TRACE FINDING (v5e, 2B=128, N=1024, C=64, runs/perf/): the round-1 XLA
+formulation spent ~40% of the block in the q-softmax plumbing — the
+(B, N, heads, dim_head) fp32 reshape path materialized two tensors 4x the size
+of qkv (a 67 MB fp32 softmax output plus a 67 MB broadcast of its denominators)
+while the matmuls ran at 43-68% MXU utilization.  The current XLA path
+(:func:`linear_attention_block_xla`) therefore restructures the softmaxes to be
+lane-layout-native (see its docstring): measured 1.33x faster at the L1 shape
+(2B=128) and 1.55-1.58x at 2B=512, lifting the full flagship sampler from 16.8
+to 21.3 img/s (T=1000-equivalent, B=64).
+
+The Pallas kernel below implements the same algebra with the whole block per
+batch item in VMEM.  Round-1 measurement (old algebra): 2.08 ms vs 1.92 ms XLA
+at B=256/N=1024/C=64 — the kernel serialized small per-item matmuls on the
+single TensorCore.  It remains the opt-in ``"pallas"`` impl
+(``UNet.attention_impl``); the XLA path is the default.
 
 Numerics: matmuls in the requested compute dtype (bf16 on TPU) with fp32
 accumulation (``preferred_element_type``); norms and softmaxes in fp32 — the same
@@ -78,7 +82,24 @@ def linear_attention_block_xla(
     eps: float = 1e-5,
     compute_dtype: Any = jnp.float32,
 ) -> Array:
-    """Reference implementation (pure XLA), differentiable.
+    """Optimized XLA implementation, differentiable.
+
+    Same math as the reference composition (softmax_d(q) (softmax_N(k)^T v) with
+    per-head blocks, src/UNet.py:139-164), restructured after a v5e trace of the
+    first formulation showed the q-softmax plumbing — a (B, N, heads, dim_head)
+    fp32 reshape path — costing ~40% of the block (two materialized fp32 tensors
+    the size of 4x qkv, runs/perf round 2).  The fixes, all lane-layout-native:
+
+    * q softmax stays in (B, N, heads*dim_head): rowwise max over ALL lanes is a
+      per-(b, n) constant, hence a valid shift for every head's softmax; the
+      per-head denominators come from ONE (hidden x hidden) block-diagonal ones
+      matmul (an MXU segment-sum) instead of a 4D reduce + broadcast;
+    * k's softmax normalization commutes out of the context matmul (it is
+      constant over N per column), so ctx = (k_e^T v) * recip(k_sum) and the
+      normalized k is never materialized;
+    * exp/divide run in the compute dtype (bf16 under AMP; fp32 accumulation in
+      every matmul) — the f32 path is preserved exactly when compute_dtype is
+      fp32 (the torch-parity configuration).
 
     Args:
       x: (B, N, C) tokens (flattened H*W spatial grid).
@@ -90,27 +111,46 @@ def linear_attention_block_xla(
     b, n, c = x.shape
     hidden = heads * dim_head
     cd = compute_dtype
-    xf32 = x.astype(jnp.float32)
+    f32 = jnp.float32
+    xf32 = x.astype(f32)
     mean = xf32.mean(axis=(1, 2), keepdims=True)
     var = xf32.var(axis=(1, 2), keepdims=True)
     h = ((xf32 - mean) * jax.lax.rsqrt(var + eps) * gn1_scale + gn1_bias).astype(cd)
 
     qkv = h @ wqkv.astype(cd)
     q, k, v = jnp.split(qkv, 3, axis=-1)
-    q = jax.nn.softmax(
-        q.reshape(b, n, heads, dim_head).astype(jnp.float32), axis=-1
+
+    # --- q: per-head softmax over dim_head, entirely in the 128-lane layout.
+    # The shift is the rowwise max over all lanes (constant per row => exact for
+    # each head's softmax); segment sums via one block-diag ones matmul (MXU).
+    seg = _block_diag_mask(heads, dim_head, cd)
+    q_shift = jax.lax.stop_gradient(
+        q.astype(f32).max(axis=-1, keepdims=True)
+    ).astype(cd)
+    q_e = jnp.exp(q - q_shift)
+    q_sum = jax.lax.dot_general(
+        q_e, seg, (((2,), (0,)), ((), ())), preferred_element_type=f32
     )
-    q = (q * (dim_head**-0.5)).reshape(b, n, hidden).astype(cd)
-    k = jax.nn.softmax(k.astype(jnp.float32), axis=1).astype(cd)
-    ctx = jnp.einsum("bnd,bne->bde", k, v) * _block_diag_mask(heads, dim_head, cd)
-    ctx_w = jnp.einsum("bde,ec->bdc", ctx, wout.astype(cd))
+    q = (q_e.astype(f32) / q_sum * (dim_head**-0.5)).astype(cd)
+
+    # --- k: softmax over N; the per-(b, d) normalization commutes out of the
+    # context contraction, so only exp(k - max) is ever materialized.
+    k_shift = jax.lax.stop_gradient(
+        k.astype(f32).max(axis=1, keepdims=True)
+    ).astype(cd)
+    k_e = jnp.exp(k - k_shift)
+    k_sum = k_e.astype(f32).sum(axis=1)  # (B, hidden)
+
+    ctx = jnp.einsum("bnd,bne->bde", k_e, v).astype(f32)
+    ctx = ctx * (seg.astype(f32) / k_sum[:, :, None])
+    ctx_w = jnp.einsum("bde,ec->bdc", ctx.astype(cd), wout.astype(cd))
     out = jnp.einsum("bdc,bnd->bnc", ctx_w, q) + bout.astype(cd)
 
-    of32 = out.astype(jnp.float32)
+    of32 = out.astype(f32)
     mean2 = of32.mean(axis=(1, 2), keepdims=True)
     var2 = of32.var(axis=(1, 2), keepdims=True)
     o = (of32 - mean2) * jax.lax.rsqrt(var2 + eps) * gn2_scale + gn2_bias
-    return (x.astype(jnp.float32) + o).astype(x.dtype)
+    return (x.astype(f32) + o).astype(x.dtype)
 
 
 # ------------------------------------------------------------------------ Pallas
@@ -132,29 +172,37 @@ def _fused_kernel(
     k = qkv[:, hidden : 2 * hidden]
     v = qkv[:, 2 * hidden :].astype(cd)
 
-    # --- q: softmax per head over dim_head.  Mosaic can't reshape the lane dim
-    # (N, 128) -> (N, 4, 32), so reduce per-head over static lane slices instead
-    # (heads is small and static; this unrolls to 4 lane-group reductions).
-    q_heads = []
-    for i in range(heads):
-        qh = q[:, i * dim_head : (i + 1) * dim_head]
-        qh = qh - jax.lax.stop_gradient(qh.max(axis=-1, keepdims=True))
-        qe = jnp.exp(qh)
-        q_heads.append(qe / qe.sum(axis=-1, keepdims=True))
-    q = (jnp.concatenate(q_heads, axis=-1) * (dim_head**-0.5)).astype(cd)
-
-    # --- k: softmax over the sequence axis N
-    k = k - jax.lax.stop_gradient(k.max(axis=0, keepdims=True))
-    ke = jnp.exp(k)
-    k = (ke / ke.sum(axis=0, keepdims=True)).astype(cd)
-
-    # --- context: one (hidden x hidden) MXU matmul, masked to per-head blocks
-    ctx = jax.lax.dot_general(
-        k, v, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    # Same algebra as the optimized XLA path: lane-layout-native softmaxes.
     row_h = jax.lax.broadcasted_iota(jnp.int32, (hidden, hidden), 0) // dim_head
     col_h = jax.lax.broadcasted_iota(jnp.int32, (hidden, hidden), 1) // dim_head
-    ctx = jnp.where(row_h == col_h, ctx, 0.0).astype(cd)
+    seg = (row_h == col_h).astype(cd)  # block-diag ones (Mosaic-friendly iota)
+
+    # --- q: per-head softmax over dim_head; the rowwise max over ALL lanes is
+    # constant per row, hence a valid shift for each head; per-head denominators
+    # via one (hidden x hidden) segment-sum matmul (MXU).
+    q = q.astype(cd)
+    q_shift = jax.lax.stop_gradient(
+        q.astype(jnp.float32).max(axis=-1, keepdims=True)
+    ).astype(cd)
+    q_e = jnp.exp(q - q_shift)
+    q_sum = jnp.dot(q_e, seg, preferred_element_type=jnp.float32)
+    q = (q_e.astype(jnp.float32) / q_sum * (dim_head**-0.5)).astype(cd)
+
+    # --- k: softmax over the sequence axis N; the normalization commutes out of
+    # the context contraction (constant over N per column)
+    k = k.astype(cd)
+    k_shift = jax.lax.stop_gradient(
+        k.astype(jnp.float32).max(axis=0, keepdims=True)
+    ).astype(cd)
+    k_e = jnp.exp(k - k_shift)
+    k_sum = k_e.astype(jnp.float32).sum(axis=0)  # (hidden,)
+
+    # --- context: one (hidden x hidden) MXU matmul, masked to per-head blocks,
+    # normalized by k's softmax denominators
+    ctx = jax.lax.dot_general(
+        k_e, v, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ctx = (ctx * (seg.astype(jnp.float32) / k_sum[:, None])).astype(cd)
 
     # --- output: q @ (ctx @ Wout) + bias
     ctx_w = jnp.dot(ctx, wout_ref[:].astype(cd), preferred_element_type=jnp.float32)
