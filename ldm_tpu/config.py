@@ -40,6 +40,9 @@ class DataConfig:
     # (src/AbstractDataset.py:53-55); kept at the top level for YAML parity but also
     # mirrored here for the data layer.
     debugging: bool = False
+    # Size of the SYNTHETIC fallback train split (test split = size // 4).
+    # Set to 50_000 to rehearse the CIFAR-10-scale protocol without real data.
+    synthetic_size: int = 2048
 
 
 @dataclasses.dataclass

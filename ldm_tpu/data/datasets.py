@@ -149,6 +149,7 @@ def get_dataset(
     train: bool = True,
     debugging: bool = False,
     allow_synthetic_fallback: bool = True,
+    synthetic_size: int = 2048,
 ) -> Dataset:
     """Load a dataset by name (reference ``AbstractDataset``,
     src/AbstractDataset.py:28-55), resized to ``image_size``; ``debugging``
@@ -174,7 +175,8 @@ def get_dataset(
                 "(expected MNIST/raw IDX files or cifar-10-batches-py)"
             )
         ds = synthetic_dataset(
-            2048 if train else 512, image_size, channels, train=train
+            synthetic_size if train else max(1, synthetic_size // 4),
+            image_size, channels, train=train,
         )
     if ds.images.shape[1] != image_size:
         ds = Dataset(

@@ -83,11 +83,13 @@ def create_dataloaders(
         d.dataset, d.data_path, d.image_size, train=True,
         debugging=config.debugging,
         allow_synthetic_fallback=allow_synthetic_fallback,
+        synthetic_size=d.synthetic_size,
     )
     testset = get_dataset(
         d.dataset, d.data_path, d.image_size, train=False,
         debugging=config.debugging,
         allow_synthetic_fallback=allow_synthetic_fallback,
+        synthetic_size=d.synthetic_size,
     )
     classes = trainset.classes
     test_loader = DataLoader(

@@ -131,10 +131,12 @@ def run_augmentation_experiment(
     # ---- data: 50/50 split, then 90/10 train/val each (main.py:123-135) ----
     full = get_dataset(d.dataset, d.data_path, d.image_size, train=True,
                        debugging=config.debugging,
-                       allow_synthetic_fallback=not strict_data)
+                       allow_synthetic_fallback=not strict_data,
+                       synthetic_size=d.synthetic_size)
     test = get_dataset(d.dataset, d.data_path, d.image_size, train=False,
                        debugging=config.debugging,
-                       allow_synthetic_fallback=not strict_data)
+                       allow_synthetic_fallback=not strict_data,
+                       synthetic_size=d.synthetic_size)
     perm = np.random.default_rng(config.seed).permutation(len(full))
     half = len(full) // 2
     ds_diff = full.subset(perm[:half])

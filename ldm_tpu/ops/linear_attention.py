@@ -58,14 +58,6 @@ def _block_diag_mask(heads: int, dim_head: int, dtype) -> Array:
     )
 
 
-def _groupnorm1(x: Array, scale: Array, bias: Array, eps: float) -> Array:
-    """GroupNorm(num_groups=1) over an (N, C) tile, fp32 statistics."""
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf)
-    var = jnp.mean(jnp.square(xf - mean))
-    return (xf - mean) * jax.lax.rsqrt(var + eps) * scale + bias
-
-
 # --------------------------------------------------------------------------- XLA
 def linear_attention_block_xla(
     x: Array,
@@ -158,94 +150,169 @@ def _fused_kernel(
     x_ref, wqkv_ref, wout_ref, bout_ref, g1s_ref, g1b_ref, g2s_ref, g2b_ref, o_ref,
     *, heads: int, dim_head: int, eps: float, compute_dtype,
 ):
+    """G batch items per program: one (G, N, C) block.
+
+    The round-1 kernel ran one item per program; with every matmul in a single
+    item's chain data-dependent on the previous one, the MXU idled between the
+    small dependent dots and the kernel lost to XLA (docstring above).  With G
+    independent items per block the big matmuls run jointly on the (G*N, .)
+    flattening (G-fold larger M) and the per-item contractions are batched dots
+    whose G sub-matmuls are mutually independent — the pipeline stays full.
+
+    Mosaic note: everything is kept rank-2 (3D elementwise/reduce/broadcast and
+    rank-1 operands trip `layout.h` checks on this toolchain — probe5 round 2).
+    Per-item reductions therefore go through item-indicator matmuls: S (G, G*N)
+    sums rows of an item (an MXU segment-sum), St (G*N, G) broadcasts per-item
+    scalars back to rows.  The 1-D params arrive pre-reshaped to (1, C).
+    """
     cd = compute_dtype
-    n, c = x_ref.shape[-2], x_ref.shape[-1]
+    f32 = jnp.float32
+    g, n, c = x_ref.shape
+    gn = g * n
     hidden = heads * dim_head
-    x = x_ref[0]  # (N, C)
+    x = x_ref[...].reshape(gn, c)
+    xf = x.astype(f32)
 
-    # --- pre GroupNorm(1), fp32 stats over the whole (N, C) tile
-    h = _groupnorm1(x, g1s_ref[:], g1b_ref[:], eps).astype(cd)
+    # Item-indicator matrices (iota compare: Mosaic-friendly).
+    s_row = jax.lax.broadcasted_iota(jnp.int32, (g, gn), 0)
+    s_col = jax.lax.broadcasted_iota(jnp.int32, (g, gn), 1) // n
+    S = (s_row == s_col).astype(f32)  # (G, G*N): sums an item's rows
+    St = S.T  # (G*N, G): broadcasts per-item scalars back to rows
 
-    # --- qkv projection (MXU), fp32 accumulation
-    qkv = jnp.dot(h, wqkv_ref[:].astype(cd), preferred_element_type=jnp.float32)
-    q = qkv[:, :hidden]
-    k = qkv[:, hidden : 2 * hidden]
-    v = qkv[:, 2 * hidden :].astype(cd)
+    def per_item_affine(t, scale_row, bias_row):
+        """GroupNorm(1) over each item's (N, C) slab, returned as t*a + b.
+
+        Keeps every tensor full-lane: the per-item scalars live broadcast
+        across a (G, C) row, and return to (G*N, C) via one St matmul — a
+        (G*N, 1) column (1 live lane of 128) measured ~2x slower end to end.
+        """
+        ssum = jnp.dot(S, t, preferred_element_type=f32)  # (G, C)
+        ssq = jnp.dot(S, t * t, preferred_element_type=f32)
+        mu = ssum.sum(axis=-1, keepdims=True) / (n * c)  # (G, 1) — tiny
+        var = ssq.sum(axis=-1, keepdims=True) / (n * c) - mu * mu
+        inv = jax.lax.rsqrt(var + eps)
+        a = inv * scale_row  # (G, C): per-item scale in every lane
+        b = (bias_row - mu * inv * scale_row) + jnp.zeros((g, c), f32)
+        a_row = jnp.dot(St, a, preferred_element_type=f32)  # (G*N, C)
+        b_row = jnp.dot(St, b, preferred_element_type=f32)
+        return t * a_row + b_row
+
+    # --- pre GroupNorm(1): per-item fp32 stats over each (N, C) slab
+    h = per_item_affine(xf, g1s_ref[...].astype(f32), g1b_ref[...].astype(f32))
+    h = h.astype(cd)
+
+    # --- q/k/v projections: three (G*N, C) x (C, hidden) MXU matmuls (split so
+    # the fp32 accumulator buffer is hidden-wide, not 3*hidden — VMEM headroom)
+    wqkv = wqkv_ref[...].astype(cd)
+    q = jnp.dot(h, wqkv[:, :hidden], preferred_element_type=f32)
+    k = jnp.dot(h, wqkv[:, hidden : 2 * hidden], preferred_element_type=f32)
+    v = jnp.dot(h, wqkv[:, 2 * hidden :], preferred_element_type=f32).astype(cd)
 
     # Same algebra as the optimized XLA path: lane-layout-native softmaxes.
     row_h = jax.lax.broadcasted_iota(jnp.int32, (hidden, hidden), 0) // dim_head
     col_h = jax.lax.broadcasted_iota(jnp.int32, (hidden, hidden), 1) // dim_head
-    seg = (row_h == col_h).astype(cd)  # block-diag ones (Mosaic-friendly iota)
+    seg = (row_h == col_h).astype(cd)  # block-diag ones
 
     # --- q: per-head softmax over dim_head; the rowwise max over ALL lanes is
     # constant per row, hence a valid shift for each head; per-head denominators
-    # via one (hidden x hidden) segment-sum matmul (MXU).
+    # via one (G*N, hidden) x (hidden, hidden) segment-sum matmul (MXU).
     q = q.astype(cd)
-    q_shift = jax.lax.stop_gradient(
-        q.astype(jnp.float32).max(axis=-1, keepdims=True)
-    ).astype(cd)
+    q_shift = q.astype(f32).max(axis=-1, keepdims=True).astype(cd)
     q_e = jnp.exp(q - q_shift)
-    q_sum = jnp.dot(q_e, seg, preferred_element_type=jnp.float32)
-    q = (q_e.astype(jnp.float32) / q_sum * (dim_head**-0.5)).astype(cd)
+    q_sum = jnp.dot(q_e, seg, preferred_element_type=f32)
+    q = (q_e.astype(f32) / q_sum * (dim_head**-0.5)).astype(cd)
 
-    # --- k: softmax over the sequence axis N; the normalization commutes out of
-    # the context contraction (constant over N per column)
+    # --- k: per-item softmax over N.  The shift only needs to be a per-column
+    # constant within each item (it cancels against the denominator), so the
+    # block-global per-lane max works and keeps the max rank-2; the denominator
+    # is a per-(item, lane) segment-sum, broadcast back to rows via St — inside
+    # VMEM the normalized k costs nothing to materialize (unlike the XLA path).
     k = k.astype(cd)
-    k_shift = jax.lax.stop_gradient(
-        k.astype(jnp.float32).max(axis=0, keepdims=True)
-    ).astype(cd)
+    k_shift = k.astype(f32).max(axis=0, keepdims=True).astype(cd)  # (1, hidden)
     k_e = jnp.exp(k - k_shift)
-    k_sum = k_e.astype(jnp.float32).sum(axis=0)  # (hidden,)
+    k_sum = jnp.dot(S, k_e.astype(f32), preferred_element_type=f32)  # (G, hidden)
+    k_norm = (
+        k_e.astype(f32)
+        * jnp.dot(St, 1.0 / k_sum, preferred_element_type=f32)
+    ).astype(cd)
 
-    # --- context: one (hidden x hidden) MXU matmul, masked to per-head blocks,
-    # normalized by k's softmax denominators
+    # --- context: G independent (hidden x hidden) MXU matmuls (batched dot),
+    # masked to per-head blocks
     ctx = jax.lax.dot_general(
-        k_e, v, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    ctx = (ctx * (seg.astype(jnp.float32) / k_sum[:, None])).astype(cd)
+        k_norm.reshape(g, n, hidden), v.reshape(g, n, hidden),
+        (((1,), (1,)), ((0,), (0,))), preferred_element_type=f32,
+    )  # (G, hidden, hidden)
+    ctx = (ctx.reshape(g * hidden, hidden)
+           * jnp.tile(seg.astype(f32), (g, 1))).astype(cd)
 
-    # --- output: q @ (ctx @ Wout) + bias
-    ctx_w = jnp.dot(ctx, wout_ref[:].astype(cd), preferred_element_type=jnp.float32)
-    out = jnp.dot(q, ctx_w.astype(cd), preferred_element_type=jnp.float32)
-    out = out + bout_ref[:].astype(jnp.float32)
+    # --- output: q @ (ctx @ Wout) + bias; ctx@Wout as one (G*hidden, C) matmul
+    ctx_w = jnp.dot(
+        ctx, wout_ref[...].astype(cd), preferred_element_type=f32
+    ).astype(cd)
+    out = jax.lax.dot_general(
+        q.reshape(g, n, hidden), ctx_w.reshape(g, hidden, c),
+        (((2,), (1,)), ((0,), (0,))), preferred_element_type=f32,
+    ).reshape(gn, c)
+    out = out + bout_ref[...].astype(f32)
 
-    # --- post GroupNorm(1) + residual
-    o = _groupnorm1(out, g2s_ref[:], g2b_ref[:], eps)
-    o_ref[0] = (x.astype(jnp.float32) + o).astype(o_ref.dtype)
+    # --- post GroupNorm(1), per item, + residual
+    o = per_item_affine(out, g2s_ref[...].astype(f32), g2b_ref[...].astype(f32))
+    o_ref[...] = (xf + o).astype(o_ref.dtype).reshape(g, n, c)
+
+
+# VMEM-fitting items-per-program for the flagship shapes, measured on v5e
+# (perf/probe5.py): keyed by (N, C); the fused buffers scale with N*C so the
+# same G works across batch sizes.  Fallback: largest divisor of B that keeps
+# the block under ~2 MB of bf16 input.
+_BLOCK_ITEMS = {(1024, 64): 8, (256, 128): 16, (64, 256): 32, (16, 512): 32}
+
+
+def _pick_block_items(b: int, n: int, c: int) -> int:
+    want = _BLOCK_ITEMS.get((n, c), max(1, (2 << 20) // max(1, n * c * 2)))
+    while b % want:
+        want -= 1
+    return max(1, want)
 
 
 def linear_attention_block_pallas(
     x, wqkv, wout, bout, gn1_scale, gn1_bias, gn2_scale, gn2_bias,
     *, heads: int, dim_head: int, eps: float = 1e-5,
     compute_dtype: Any = jnp.float32, interpret: bool = False,
+    block_items: int | None = None,
 ) -> Array:
-    """Fused forward on TPU: grid over the batch; one (N, C) tile per program."""
+    """Fused forward on TPU: grid over the batch, G items (one (G, N, C) block)
+    per program — G from the measured table above unless overridden."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     b, n, c = x.shape
+    g = block_items or _pick_block_items(b, n, c)
+    if b % g:
+        raise ValueError(f"block_items={g} must divide batch {b}")
     kernel = functools.partial(
         _fused_kernel, heads=heads, dim_head=dim_head, eps=eps,
         compute_dtype=compute_dtype,
     )
+    # Rank-1 params go in as (1, C) rows — Mosaic layouts want rank >= 2.
+    row = lambda p: p.reshape(1, -1)  # noqa: E731
     full = lambda shape: pl.BlockSpec(  # noqa: E731 — whole-array, VMEM-resident
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(b // g,),
         in_specs=[
-            pl.BlockSpec((1, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            full(wqkv.shape), full(wout.shape), full(bout.shape),
-            full(gn1_scale.shape), full(gn1_bias.shape),
-            full(gn2_scale.shape), full(gn2_bias.shape),
+            pl.BlockSpec((g, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            full(wqkv.shape), full(wout.shape), full((1, c)),
+            full((1, c)), full((1, c)), full((1, c)), full((1, c)),
         ],
         out_specs=pl.BlockSpec(
-            (1, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (g, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, n, c), x.dtype),
         interpret=interpret,
-    )(x, wqkv, wout, bout, gn1_scale, gn1_bias, gn2_scale, gn2_bias)
+    )(x, wqkv, wout, row(bout), row(gn1_scale), row(gn1_bias),
+      row(gn2_scale), row(gn2_bias))
 
 
 # ------------------------------------------------------- public op (custom VJP)

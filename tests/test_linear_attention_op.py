@@ -38,6 +38,26 @@ def test_pallas_interpret_matches_xla():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
+@pytest.mark.parametrize("g", [1, 2, 4, 8])
+def test_pallas_multi_item_blocks_match_xla(g):
+    """The G-items-per-program kernel (round 2) is exact for every G, including
+    G that splits the batch into several grid programs."""
+    args = make_inputs(b=8, n=32, c=16, seed=2)
+    want = linear_attention_block_xla(*args, heads=HEADS, dim_head=DIM_HEAD)
+    got = linear_attention_block_pallas(
+        *args, heads=HEADS, dim_head=DIM_HEAD, interpret=True, block_items=g
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_block_items_must_divide_batch():
+    args = make_inputs(b=6, n=16, c=16)
+    with pytest.raises(ValueError):
+        linear_attention_block_pallas(
+            *args, heads=HEADS, dim_head=DIM_HEAD, interpret=True, block_items=4
+        )
+
+
 def test_pallas_interpret_matches_xla_bf16():
     args = make_inputs(b=1, n=16, c=8, seed=3)
     want = linear_attention_block_xla(
