@@ -46,7 +46,7 @@ os.makedirs(_cache_dir, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
-OUR_BATCHES = (64, 128)
+OUR_BATCHES = (64, 128, 256)
 REF_BATCHES = (64, 128, 256)
 T = 1000
 BASELINE_FILE = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
@@ -56,6 +56,7 @@ def build():
     from ldm_tpu.diffusion.ddpm import GaussianDiffusion
     from ldm_tpu.models.unet import UNet
 
+    # default attention_impl (auto): fused Pallas attention blocks on TPU
     model = UNet(in_channels=3, out_channels=3, channels=64,
                  channel_multipliers=(1, 2, 4, 8), num_classes=10,
                  dtype=jnp.bfloat16)
@@ -67,17 +68,57 @@ def build():
     return model, diffusion, params
 
 
+def build_flops_twin(model):
+    """Same math with attention forced to the XLA path — used only to *count*
+    FLOPs: XLA's cost analysis cannot see inside a Pallas custom call, so an
+    auto/pallas model undercounts by the attention matmuls (~23% at 2B=128)."""
+    return model.clone(attention_impl="xla")
+
+
 V5E_BF16_PEAK_FLOPS = 197e12  # TPU v5e: 197 TFLOP/s bf16 (394 int8)
 
 
+def sampler_flops_per_img_step(model, diffusion, batch: int = 32) -> float:
+    """Per-image per-step sampler FLOPs from XLA's cost analysis.
+
+    Counted on the XLA-attention twin: cost analysis cannot see inside a
+    Pallas custom call, so the default auto/pallas model undercounts by the
+    attention matmuls (~23% at 2B=128).  flops/T/batch is constant across
+    batches (runs/perf/probe1.py: ~14.6 MFLOP/img/step), so one small-batch
+    compile (cached persistently) prices every batch.
+    """
+    flops_model = build_flops_twin(model)
+    classes = jnp.arange(batch, dtype=jnp.int32) % 10
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    params = jax.eval_shape(
+        flops_model.init, jax.random.key(0), x,
+        jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32),
+    )
+
+    @jax.jit
+    def run(params, key):
+        return diffusion.sample(
+            flops_model.apply, params, key, classes, (32, 32, 3),
+            cfg_scale=3.0, null_label=10,
+        )
+
+    ca = run.lower(params, jax.random.key(0)).compile().cost_analysis()
+    flops_per_step = float(ca.get("flops", 0.0))
+    if flops_per_step <= 0:
+        raise ValueError("cost analysis returned no flops")
+    # some toolchains multiply in the scan trip count — normalize it away
+    per_img = flops_per_step / batch
+    if per_img / diffusion.n_steps > 1e8:  # > 100 MFLOP/img/step: trip-counted
+        per_img /= diffusion.n_steps
+    return per_img
+
+
 def bench_scan_sampler(model, diffusion, params, batch: int,
-                       want_mfu: bool = False):
+                       flops_per_img_step: float | None = None):
     """Our design: whole T-step loop as one on-device lax.scan, batched CFG.
 
-    Returns imgs/sec, or (imgs/sec, mfu) with ``want_mfu`` — MFU from XLA's own
-    cost analysis of the compiled sampler (the scan body is counted once, i.e.
-    the reported FLOPs are per step; verified on-chip in runs/perf/probe1.py
-    where flops/T/batch is constant across batch sizes at ~14.6 MFLOP/img/step).
+    Returns imgs/sec, or (imgs/sec, mfu) when ``flops_per_img_step`` is given
+    (see sampler_flops_per_img_step).
     """
     classes = jnp.arange(batch, dtype=jnp.int32) % 10
 
@@ -88,13 +129,6 @@ def bench_scan_sampler(model, diffusion, params, batch: int,
             cfg_scale=3.0, null_label=10,
         )
 
-    flops_per_step = None
-    if want_mfu:
-        try:
-            ca = run.lower(params, jax.random.key(0)).compile().cost_analysis()
-            flops_per_step = float(ca.get("flops", 0.0)) or None
-        except Exception:
-            flops_per_step = None
     np.asarray(run(params, jax.random.key(0)))  # compile + full completion
     times = []
     for i in range(3):
@@ -103,13 +137,10 @@ def bench_scan_sampler(model, diffusion, params, batch: int,
         times.append(time.perf_counter() - t0)
     dt = min(times)
     imgs_per_sec = batch / dt
-    if not want_mfu:
+    if flops_per_img_step is None:
         return imgs_per_sec
-    mfu = None
-    if flops_per_step:
-        mfu = flops_per_step * diffusion.n_steps / dt / V5E_BF16_PEAK_FLOPS
-        if mfu > 1.0:  # cost analysis multiplied the trip count after all
-            mfu /= diffusion.n_steps
+    mfu = (flops_per_img_step * batch * diffusion.n_steps
+           / dt / V5E_BF16_PEAK_FLOPS)
     return imgs_per_sec, mfu
 
 
@@ -235,9 +266,15 @@ def main():
     n_chips = jax.device_count()
     model, diffusion, params = build()
 
+    try:
+        flops_per_img_step = sampler_flops_per_img_step(model, diffusion)
+    except Exception:
+        flops_per_img_step = None
     ours, mfus = {}, {}
     for b in OUR_BATCHES:
-        rate, mfu = bench_scan_sampler(model, diffusion, params, b, want_mfu=True)
+        out = bench_scan_sampler(model, diffusion, params, b,
+                                 flops_per_img_step=flops_per_img_step)
+        rate, mfu = out if isinstance(out, tuple) else (out, None)
         ours[b], mfus[b] = rate / n_chips, mfu
     best_batch = max(ours, key=ours.get)
     imgs_per_sec = ours[best_batch]

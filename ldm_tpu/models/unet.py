@@ -224,11 +224,13 @@ class LinAttnBlock(nn.Module):
       trace showed the previous 4D-reshape q softmax costing ~40% of the block;
       the restructure measured 1.33-1.58x faster per block and +27% on the
       full flagship sampler (runs/perf/, RESULTS.md);
-    * ``"pallas"``: a fused Pallas kernel (same algebra) that keeps the batch
-      item's (N, C) tile and every intermediate in VMEM
-      (ldm_tpu/ops/linear_attention.py).  Measured slower than the XLA path at
-      these shapes (it serializes per-item work on the single TensorCore), so
-      it stays opt-in.
+    * ``"pallas"``: a fused Pallas kernel (same algebra) that keeps G batch
+      items per grid program and every intermediate in VMEM
+      (ldm_tpu/ops/linear_attention.py).  With slice-wise per-item reductions
+      it beats the XLA path at every flagship level (1.16-1.79x per block,
+      perf/probe7b/7c.json);
+    * ``"auto"`` (default, ``impl=None``): pallas on a real TPU at the
+      measured (N, C) shapes in bf16, xla everywhere else.
 
     Gradients always flow through the XLA implementation (custom VJP), so training
     is backend-independent.
@@ -237,12 +239,12 @@ class LinAttnBlock(nn.Module):
     heads: int = 4
     dim_head: int = 32
     dtype: Dtype = jnp.float32
-    impl: Optional[str] = None
+    impl: Optional[str] = None  # None == "auto"
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         from ldm_tpu.ops.linear_attention import (
-            linear_attention_block, linear_attention_block_xla,
+            linear_attention_block, linear_attention_block_xla, prefer_pallas,
         )
 
         b, hh, ww, c = x.shape
@@ -259,7 +261,10 @@ class LinAttnBlock(nn.Module):
         g2s = self.param("norm_post_scale", nn.initializers.ones, (c,), jnp.float32)
         g2b = self.param("norm_post_bias", nn.initializers.zeros, (c,), jnp.float32)
 
-        impl = self.impl or "xla"
+        impl = self.impl or "auto"
+        if impl == "auto":
+            # measured per-shape winner on a real TPU; XLA everywhere else
+            impl = "pallas" if prefer_pallas(b, hh * ww, c, self.dtype) else "xla"
         fn = linear_attention_block if impl == "pallas" else linear_attention_block_xla
         kw = dict(heads=self.heads, dim_head=self.dim_head, compute_dtype=self.dtype)
         if impl == "pallas":

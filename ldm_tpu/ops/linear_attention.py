@@ -26,11 +26,14 @@ lane-layout-native (see its docstring): measured 1.33x faster at the L1 shape
 (2B=128) and 1.55-1.58x at 2B=512, lifting the full flagship sampler from 16.8
 to 21.3 img/s (T=1000-equivalent, B=64).
 
-The Pallas kernel below implements the same algebra with the whole block per
-batch item in VMEM.  Round-1 measurement (old algebra): 2.08 ms vs 1.92 ms XLA
-at B=256/N=1024/C=64 — the kernel serialized small per-item matmuls on the
-single TensorCore.  It remains the opt-in ``"pallas"`` impl
-(``UNet.attention_impl``); the XLA path is the default.
+The Pallas kernel below implements the same algebra with G batch items per
+grid program, the whole block VMEM-resident.  History: the round-1 single-item
+kernel lost to XLA ~8% (serialized small dependent matmuls); the round-2
+multi-item redesign with slice-wise per-item reductions (see `_fused_kernel`)
+beats the XLA path at every flagship level — 1.16-1.22x at the flagship
+2B=128 and 1.53-1.79x at 2B=512 (perf/probe6.py, probe7*.json).  UNet's
+``attention_impl="auto"`` (the default) picks it on TPU at the measured
+shapes; the XLA path serves CPU, fp32, and untabled shapes.
 
 Numerics: matmuls in the requested compute dtype (bf16 on TPU) with fp32
 accumulation (``preferred_element_type``); norms and softmaxes in fp32 — the same
@@ -159,11 +162,18 @@ def _fused_kernel(
     flattening (G-fold larger M) and the per-item contractions are batched dots
     whose G sub-matmuls are mutually independent — the pipeline stays full.
 
-    Mosaic note: everything is kept rank-2 (3D elementwise/reduce/broadcast and
-    rank-1 operands trip `layout.h` checks on this toolchain — probe5 round 2).
-    Per-item reductions therefore go through item-indicator matmuls: S (G, G*N)
-    sums rows of an item (an MXU segment-sum), St (G*N, G) broadcasts per-item
-    scalars back to rows.  The 1-D params arrive pre-reshaped to (1, C).
+    Mosaic notes (probe5/probe7, v5e):
+
+    * everything is kept rank-2 — 3D elementwise/reduce/broadcast and rank-1
+      operands trip `layout.h` checks on this toolchain (the 1-D params arrive
+      pre-reshaped to (1, C)); only the two genuinely batched contractions are
+      rank-3 dots;
+    * per-item reductions (GroupNorm stats, k-softmax denominators) are
+      statically-unrolled per-slice VPU reductions + lane-aligned (1, C)
+      broadcasts.  The first attempt used item-indicator segment-sum matmuls
+      (S: (G, G*N)) — at M=G they drove the MXU at 1/64 utilization and the
+      two GroupNorms alone cost HALF the kernel (probe7 stage ablation:
+      0.28 ms of 0.57 ms at the L1 shape).
     """
     cd = compute_dtype
     f32 = jnp.float32
@@ -173,29 +183,18 @@ def _fused_kernel(
     x = x_ref[...].reshape(gn, c)
     xf = x.astype(f32)
 
-    # Item-indicator matrices (iota compare: Mosaic-friendly).
-    s_row = jax.lax.broadcasted_iota(jnp.int32, (g, gn), 0)
-    s_col = jax.lax.broadcasted_iota(jnp.int32, (g, gn), 1) // n
-    S = (s_row == s_col).astype(f32)  # (G, G*N): sums an item's rows
-    St = S.T  # (G*N, G): broadcasts per-item scalars back to rows
-
     def per_item_affine(t, scale_row, bias_row):
-        """GroupNorm(1) over each item's (N, C) slab, returned as t*a + b.
-
-        Keeps every tensor full-lane: the per-item scalars live broadcast
-        across a (G, C) row, and return to (G*N, C) via one St matmul — a
-        (G*N, 1) column (1 live lane of 128) measured ~2x slower end to end.
-        """
-        ssum = jnp.dot(S, t, preferred_element_type=f32)  # (G, C)
-        ssq = jnp.dot(S, t * t, preferred_element_type=f32)
-        mu = ssum.sum(axis=-1, keepdims=True) / (n * c)  # (G, 1) — tiny
-        var = ssq.sum(axis=-1, keepdims=True) / (n * c) - mu * mu
-        inv = jax.lax.rsqrt(var + eps)
-        a = inv * scale_row  # (G, C): per-item scale in every lane
-        b = (bias_row - mu * inv * scale_row) + jnp.zeros((g, c), f32)
-        a_row = jnp.dot(St, a, preferred_element_type=f32)  # (G*N, C)
-        b_row = jnp.dot(St, b, preferred_element_type=f32)
-        return t * a_row + b_row
+        """GroupNorm(1) over each item's contiguous (N, C) row-slice of t."""
+        slabs = []
+        for gi in range(g):
+            sl = t[gi * n : (gi + 1) * n]
+            mu = jnp.sum(sl) / (n * c)  # scalar: full VPU tree-reduce
+            var = jnp.sum(sl * sl) / (n * c) - mu * mu
+            inv = jax.lax.rsqrt(var + eps)
+            a = inv * scale_row  # (1, C)
+            b = bias_row - mu * inv * scale_row
+            slabs.append(sl * a + b)
+        return jnp.concatenate(slabs, axis=0) if g > 1 else slabs[0]
 
     # --- pre GroupNorm(1): per-item fp32 stats over each (N, C) slab
     h = per_item_affine(xf, g1s_ref[...].astype(f32), g1b_ref[...].astype(f32))
@@ -225,16 +224,24 @@ def _fused_kernel(
     # --- k: per-item softmax over N.  The shift only needs to be a per-column
     # constant within each item (it cancels against the denominator), so the
     # block-global per-lane max works and keeps the max rank-2; the denominator
-    # is a per-(item, lane) segment-sum, broadcast back to rows via St — inside
-    # VMEM the normalized k costs nothing to materialize (unlike the XLA path).
+    # is a per-slice column sum with a lane-aligned (1, hidden) broadcast —
+    # inside VMEM the normalized k costs nothing to materialize (unlike the
+    # XLA path).
     k = k.astype(cd)
     k_shift = k.astype(f32).max(axis=0, keepdims=True).astype(cd)  # (1, hidden)
     k_e = jnp.exp(k - k_shift)
-    k_sum = jnp.dot(S, k_e.astype(f32), preferred_element_type=f32)  # (G, hidden)
-    k_norm = (
-        k_e.astype(f32)
-        * jnp.dot(St, 1.0 / k_sum, preferred_element_type=f32)
-    ).astype(cd)
+    if g > 1:
+        k_norm = jnp.concatenate(
+            [
+                (sl := k_e[gi * n : (gi + 1) * n].astype(f32))
+                / jnp.sum(sl, axis=0, keepdims=True)
+                for gi in range(g)
+            ],
+            axis=0,
+        ).astype(cd)
+    else:
+        kf = k_e.astype(f32)
+        k_norm = (kf / jnp.sum(kf, axis=0, keepdims=True)).astype(cd)
 
     # --- context: G independent (hidden x hidden) MXU matmuls (batched dot),
     # masked to per-head blocks
@@ -260,11 +267,11 @@ def _fused_kernel(
     o_ref[...] = (xf + o).astype(o_ref.dtype).reshape(g, n, c)
 
 
-# VMEM-fitting items-per-program for the flagship shapes, measured on v5e
-# (perf/probe5.py): keyed by (N, C); the fused buffers scale with N*C so the
-# same G works across batch sizes.  Fallback: largest divisor of B that keeps
-# the block under ~2 MB of bf16 input.
-_BLOCK_ITEMS = {(1024, 64): 8, (256, 128): 16, (64, 256): 32, (16, 512): 32}
+# Fastest measured items-per-program on v5e (perf/probe6.py, probe7*): keyed by
+# (N, C) — the fused buffers scale with N*C so the same G works across batch
+# sizes (G=8 at N=1024 exceeds VMEM).  Fallback: largest divisor of B that
+# keeps the block under ~2 MB of bf16 input.
+_BLOCK_ITEMS = {(1024, 64): 4, (256, 128): 16, (64, 256): 32, (16, 512): 32}
 
 
 def _pick_block_items(b: int, n: int, c: int) -> int:
@@ -272,6 +279,25 @@ def _pick_block_items(b: int, n: int, c: int) -> int:
     while b % want:
         want -= 1
     return max(1, want)
+
+
+def prefer_pallas(b: int, n: int, c: int, dtype=None) -> bool:
+    """True when the fused kernel is the measured winner for this shape.
+
+    The kernel beat the XLA path at every flagship (N, C) level once the
+    per-item reductions went slice-wise (perf/probe7b/7c.json: 1.16-1.79x),
+    but only at the measured G — require the tabled G to divide the batch, a
+    real TPU backend (the kernel needs Mosaic; CPU tests interpret-force it),
+    and the bf16 compute the table was measured at (fp32 doubles the VMEM
+    footprint the G table was sized against).
+    """
+    g = _BLOCK_ITEMS.get((n, c))
+    return (
+        g is not None
+        and b % g == 0
+        and jax.default_backend() == "tpu"
+        and (dtype is None or dtype == jnp.bfloat16)
+    )
 
 
 def linear_attention_block_pallas(
