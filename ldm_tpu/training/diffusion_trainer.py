@@ -61,6 +61,16 @@ class DiffusionTrainer:
         assert config.loss_fn == "mse", "diffusion training uses MSE (src/Trainer.py:62)"
         self.config = config
         self.model = model
+        # Gradient computation forces the XLA attention path: the Pallas
+        # forward's custom VJP recomputes through XLA anyway (so pallas under
+        # grad is strictly extra work), and the vjp-of-pallas-in-epoch-scan
+        # compile was measured pathological (>20 min) on the tunnel toolchain.
+        # Forward-only programs (eval, sampling) keep the fused kernel.
+        self._train_model = (
+            model.clone(attention_impl="xla")
+            if getattr(model, "attention_impl", "unset") in (None, "auto")
+            else model
+        )
         self.diffusion = diffusion
         self.train_loader = train_loader
         self.val_loader = val_loader
@@ -131,7 +141,7 @@ class DiffusionTrainer:
         y = self._dropped_labels(k_drop, batch["label"])
 
         def loss_fn(params):
-            eps_theta = self.model.apply(params, xt, t, y)
+            eps_theta = self._train_model.apply(params, xt, t, y)
             return jnp.mean((eps.astype(jnp.float32) - eps_theta) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)

