@@ -25,12 +25,17 @@ ITERS = 300
 
 
 def scan_ms(fn, x):
+    # The op changes shape, so it can't be the scan carry: carry a scalar
+    # accumulator instead, and perturb the input per iteration so XLA can't
+    # hoist the (otherwise loop-invariant) op out of the loop.
     @jax.jit
     def run(x):
-        def step(x, _):
-            return fn(x), None
-        y, _ = jax.lax.scan(step, x, None, length=ITERS)
-        return y.astype(jnp.float32).mean()
+        def step(acc, i):
+            y = fn(x * (1.0 + i.astype(x.dtype) * 1e-6))
+            return acc + y.astype(jnp.float32).mean(), None
+        acc, _ = jax.lax.scan(step, jnp.float32(0.0),
+                              jnp.arange(ITERS, dtype=jnp.int32))
+        return acc
 
     np.asarray(run(x))
     times = []
