@@ -267,11 +267,151 @@ def _fused_kernel(
     o_ref[...] = (xf + o).astype(o_ref.dtype).reshape(g, n, c)
 
 
-# Fastest measured items-per-program on v5e (perf/probe6.py, probe7*): keyed by
-# (N, C) — the fused buffers scale with N*C so the same G works across batch
-# sizes (G=8 at N=1024 exceeds VMEM).  Fallback: largest divisor of B that
-# keeps the block under ~2 MB of bf16 input.
-_BLOCK_ITEMS = {(1024, 64): 4, (256, 128): 16, (64, 256): 32, (16, 512): 32}
+# ------------------------------------------------- Pallas, pixel-pair packed
+def _fused_kernel_packed(
+    xp_ref, wqkv2_ref, wout_ref, bout2_ref, g1s2_ref, g1b2_ref, g2s2_ref,
+    g2b2_ref, o_ref, *, heads: int, dim_head: int, eps: float, compute_dtype,
+):
+    """The C=64 variant: two spatial positions packed per 128-lane row.
+
+    probe13b's noop ablation exposed a 2x tax on every channel-minor (., 64)
+    bf16 array: the (8, 128) tile pads the 64-wide lane dim to 128, doubling
+    HBM DMA bytes and VMEM footprint.  At C=64 (the two 32x32 UNet levels +
+    the untabled 16x16 decoder site) this kernel therefore takes x reshaped
+    to (G, N/2, 2C) — pixel pair [2m, 2m+1] per row — so the I/O and every
+    C-space buffer is exactly 128 lanes wide:
+
+    * GroupNorms (num_groups=1: stats over the whole item) read the packed
+      slab directly; affine rows arrive pre-tiled to (1, 2C);
+    * the qkv projection uses the block-diagonal (2C, 6H) weight
+      diag(Wqkv, Wqkv) built by the wrapper — each output row is
+      [pix0 qkv (3H) | pix1 qkv (3H)], so q/k/v halves slice out at
+      128-aligned offsets;
+    * softmax chains run per half (identical math per pixel row); the
+      k-softmax shift is the elementwise max of the two halves' per-lane
+      maxes — the same block-global constant as the unpacked kernel;
+    * the context sums over all N, so ctx = k0n^T v0 + k1n^T v1 needs no
+      interleave;
+    * the output projection stays packed via a per-item block-diagonal
+      (2H, 2C) = diag(ctx_w, ctx_w), assembled with two lane-aligned selector
+      matmuls + a row concat (no 64-lane-offset concats anywhere).
+
+    Algebraically identical to `_fused_kernel`; only the layout differs.
+    """
+    cd = compute_dtype
+    f32 = jnp.float32
+    g, np_, c2 = xp_ref.shape          # np_ = N/2 packed rows, c2 = 2C = 128
+    gnp = g * np_
+    hidden = heads * dim_head          # == c2 for the C=64 sites
+    c = c2 // 2
+    xp = xp_ref[...].reshape(gnp, c2)
+    xf = xp.astype(f32)
+
+    def per_item_affine(t, scale_row, bias_row):
+        slabs = []
+        for gi in range(g):
+            sl = t[gi * np_ : (gi + 1) * np_]
+            mu = jnp.sum(sl) / (np_ * c2)
+            var = jnp.sum(sl * sl) / (np_ * c2) - mu * mu
+            inv = jax.lax.rsqrt(var + eps)
+            a = inv * scale_row
+            b = bias_row - mu * inv * scale_row
+            slabs.append(sl * a + b)
+        return jnp.concatenate(slabs, axis=0) if g > 1 else slabs[0]
+
+    h = per_item_affine(xf, g1s2_ref[...].astype(f32), g1b2_ref[...].astype(f32))
+    h = h.astype(cd)
+
+    w2 = wqkv2_ref[...].astype(cd)     # (2C, 6H) block-diag
+    q0 = jnp.dot(h, w2[:, :hidden], preferred_element_type=f32)
+    k0 = jnp.dot(h, w2[:, hidden : 2 * hidden], preferred_element_type=f32)
+    v0 = jnp.dot(h, w2[:, 2 * hidden : 3 * hidden],
+                 preferred_element_type=f32).astype(cd)
+    q1 = jnp.dot(h, w2[:, 3 * hidden : 4 * hidden], preferred_element_type=f32)
+    k1 = jnp.dot(h, w2[:, 4 * hidden : 5 * hidden], preferred_element_type=f32)
+    v1 = jnp.dot(h, w2[:, 5 * hidden :],
+                 preferred_element_type=f32).astype(cd)
+
+    row_h = jax.lax.broadcasted_iota(jnp.int32, (hidden, hidden), 0) // dim_head
+    col_h = jax.lax.broadcasted_iota(jnp.int32, (hidden, hidden), 1) // dim_head
+    seg = (row_h == col_h).astype(cd)
+
+    def q_softmax(qh):
+        qh = qh.astype(cd)
+        shift = qh.astype(f32).max(axis=-1, keepdims=True).astype(cd)
+        q_e = jnp.exp(qh - shift)
+        q_sum = jnp.dot(q_e, seg, preferred_element_type=f32)
+        return (q_e.astype(f32) / q_sum * (dim_head**-0.5)).astype(cd)
+
+    q0n, q1n = q_softmax(q0), q_softmax(q1)
+
+    # k softmax over N, per item, across both halves (shift: block-global max)
+    k0 = k0.astype(cd)
+    k1 = k1.astype(cd)
+    ksh = jnp.maximum(
+        k0.astype(f32).max(axis=0, keepdims=True),
+        k1.astype(f32).max(axis=0, keepdims=True),
+    ).astype(cd)
+    k_e0 = jnp.exp(k0 - ksh)
+    k_e1 = jnp.exp(k1 - ksh)
+    k0n_slabs, k1n_slabs = [], []
+    for gi in range(g):
+        s0 = k_e0[gi * np_ : (gi + 1) * np_].astype(f32)
+        s1 = k_e1[gi * np_ : (gi + 1) * np_].astype(f32)
+        denom = jnp.sum(s0, axis=0, keepdims=True) + jnp.sum(
+            s1, axis=0, keepdims=True
+        )
+        k0n_slabs.append((s0 / denom).astype(cd))
+        k1n_slabs.append((s1 / denom).astype(cd))
+    k0n = jnp.concatenate(k0n_slabs, axis=0) if g > 1 else k0n_slabs[0]
+    k1n = jnp.concatenate(k1n_slabs, axis=0) if g > 1 else k1n_slabs[0]
+
+    ctx = jax.lax.dot_general(
+        k0n.reshape(g, np_, hidden), v0.reshape(g, np_, hidden),
+        (((1,), (1,)), ((0,), (0,))), preferred_element_type=f32,
+    ) + jax.lax.dot_general(
+        k1n.reshape(g, np_, hidden), v1.reshape(g, np_, hidden),
+        (((1,), (1,)), ((0,), (0,))), preferred_element_type=f32,
+    )  # (G, hidden, hidden)
+    ctx = (ctx.reshape(g * hidden, hidden)
+           * jnp.tile(seg.astype(f32), (g, 1))).astype(cd)
+
+    ctx_w = jnp.dot(
+        ctx, wout_ref[...].astype(cd), preferred_element_type=f32
+    ).astype(cd)  # (G*hidden, C)
+
+    # lane-aligned selectors: [I_C | 0] and [0 | I_C], both (C, 2C)
+    sel_i = jax.lax.broadcasted_iota(jnp.int32, (c, c2), 0)
+    sel_j = jax.lax.broadcasted_iota(jnp.int32, (c, c2), 1)
+    sel0 = (sel_i == sel_j).astype(cd)
+    sel1 = (sel_i == sel_j - c).astype(cd)
+    cw0 = jnp.dot(ctx_w, sel0, preferred_element_type=f32).astype(cd)
+    cw1 = jnp.dot(ctx_w, sel1, preferred_element_type=f32).astype(cd)
+
+    qp = jnp.concatenate([q0n, q1n], axis=1)  # (G*np, 2H), 128-aligned
+    out_slabs = []
+    for gi in range(g):
+        ctxw2 = jnp.concatenate(
+            [cw0[gi * hidden : (gi + 1) * hidden],
+             cw1[gi * hidden : (gi + 1) * hidden]], axis=0
+        )  # (2H, 2C) = diag(ctx_w_i, ctx_w_i)
+        out_slabs.append(
+            jnp.dot(qp[gi * np_ : (gi + 1) * np_], ctxw2,
+                    preferred_element_type=f32)
+        )
+    out = jnp.concatenate(out_slabs, axis=0) if g > 1 else out_slabs[0]
+    out = out + bout2_ref[...].astype(f32)
+
+    o = per_item_affine(out, g2s2_ref[...].astype(f32), g2b2_ref[...].astype(f32))
+    o_ref[...] = (xf + o).astype(o_ref.dtype).reshape(g, np_, c2)
+
+
+# Fastest measured items-per-program on v5e (perf/probe6.py, probe7*,
+# probe14 for the packed C=64 entries): keyed by (N, C) — the fused buffers
+# scale with N*C so the same G works across batch sizes.  Fallback: largest
+# divisor of B that keeps the block under ~2 MB of bf16 input.
+_BLOCK_ITEMS = {(1024, 64): 4, (256, 128): 16, (64, 256): 32, (16, 512): 32,
+                (256, 64): 16}
 
 
 def _pick_block_items(b: int, n: int, c: int) -> int:
@@ -315,14 +455,50 @@ def linear_attention_block_pallas(
     g = block_items or _pick_block_items(b, n, c)
     if b % g:
         raise ValueError(f"block_items={g} must divide batch {b}")
-    kernel = functools.partial(
-        _fused_kernel, heads=heads, dim_head=dim_head, eps=eps,
-        compute_dtype=compute_dtype,
-    )
     # Rank-1 params go in as (1, C) rows — Mosaic layouts want rank >= 2.
     row = lambda p: p.reshape(1, -1)  # noqa: E731
     full = lambda shape: pl.BlockSpec(  # noqa: E731 — whole-array, VMEM-resident
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    hidden = heads * dim_head
+    if c * 2 == hidden and n % 2 == 0:
+        # C=64 sites: pixel-pair packed layout (see _fused_kernel_packed) —
+        # full 128-lane rows end to end, half the DMA bytes of the padded
+        # channel-minor form.  Packing/tiling happens here in XLA where the
+        # reshapes fuse into the producers for free.
+        np_ = n // 2
+        xp = x.reshape(b, np_, 2 * c)
+        zeros = jnp.zeros_like(wqkv)
+        wqkv2 = jnp.concatenate(
+            [jnp.concatenate([wqkv, zeros], axis=1),
+             jnp.concatenate([zeros, wqkv], axis=1)], axis=0
+        )  # (2C, 6H) = diag(Wqkv, Wqkv)
+        tile2 = lambda p: jnp.concatenate([p, p]).reshape(1, -1)  # noqa: E731
+        kernel = functools.partial(
+            _fused_kernel_packed, heads=heads, dim_head=dim_head, eps=eps,
+            compute_dtype=compute_dtype,
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid=(b // g,),
+            in_specs=[
+                pl.BlockSpec((g, np_, 2 * c), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                full(wqkv2.shape), full(wout.shape), full((1, 2 * c)),
+                full((1, 2 * c)), full((1, 2 * c)), full((1, 2 * c)),
+                full((1, 2 * c)),
+            ],
+            out_specs=pl.BlockSpec(
+                (g, np_, 2 * c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, np_, 2 * c), x.dtype),
+            interpret=interpret,
+        )(xp, wqkv2, wout, tile2(bout), tile2(gn1_scale), tile2(gn1_bias),
+          tile2(gn2_scale), tile2(gn2_bias))
+        return out.reshape(b, n, c)
+    kernel = functools.partial(
+        _fused_kernel, heads=heads, dim_head=dim_head, eps=eps,
+        compute_dtype=compute_dtype,
     )
     return pl.pallas_call(
         kernel,
