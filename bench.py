@@ -175,12 +175,17 @@ def bench_reference_style(model, diffusion, params, batch: int,
     return batch / (dt / n_steps * T)
 
 
-def bench_train_step(model, diffusion, params) -> float:
-    """UNet train steps/sec (secondary metric), batch 64 like the reference.
+def bench_train_step(model, diffusion, params):
+    """UNet train steps/sec + train MFU (secondary metric), batch 64 like the
+    reference.
 
     Measured as a lax.scan over steps — the framework's actual stepping mode
     (DiffusionTrainer runs whole epochs as one scan over a device-resident
-    dataset), so per-dispatch latency doesn't pollute the number."""
+    dataset), so per-dispatch latency doesn't pollute the number.  MFU from
+    XLA cost analysis of the compiled step (fwd+bwd+Adam+EMA); at B=64 the
+    optimizer's fp32 param/moment streams alone are a ~1 ms/step HBM floor
+    (perf/probe16.json, docs/perf_round2.md §10), so train MFU is
+    structurally lower than the sampler's."""
     from ldm_tpu.training.state import TrainState, make_optimizer
 
     state = TrainState.create(params, make_optimizer(5e-4), jax.random.key(1))
@@ -204,12 +209,21 @@ def bench_train_step(model, diffusion, params) -> float:
     def run(state):
         return jax.lax.scan(step, state, None, length=n)
 
+    compiled = run.lower(state).compile()
+    ca = compiled.cost_analysis()
+    flops = float(ca.get("flops", 0.0)) if ca else 0.0
+    # some toolchains multiply in the scan trip count — normalize it away
+    # (one fwd+bwd step at B=64 is ~0.3 TFLOP; the 50-step module would be ~15)
+    flops_per_step = flops / n if flops > 1e12 else flops
     state, losses = run(state)
     np.asarray(losses)
     t0 = time.perf_counter()
     state, losses = run(state)
     np.asarray(losses)
-    return n / (time.perf_counter() - t0)
+    steps_per_sec = n / (time.perf_counter() - t0)
+    mfu = (flops_per_step * steps_per_sec / V5E_BF16_PEAK_FLOPS
+           if flops_per_step > 0 else None)
+    return steps_per_sec, mfu
 
 
 def bench_reference_torch_cpu(batch: int = 16, n_steps: int = 5) -> float:
@@ -278,7 +292,7 @@ def main():
         ours[b], mfus[b] = rate / n_chips, mfu
     best_batch = max(ours, key=ours.get)
     imgs_per_sec = ours[best_batch]
-    steps_per_sec = bench_train_step(model, diffusion, params)
+    steps_per_sec, train_mfu = bench_train_step(model, diffusion, params)
 
     # The reference's shipped configs use T=400 (config_files/*.yaml:11);
     # BASELINE.md asks for both T values.  Throughput at the best batch:
@@ -346,6 +360,7 @@ def main():
         # strictest ratio: same chip, same optimized model, reference loop design
         "vs_reference_style_same_chip": round(imgs_per_sec / ref_style, 2),
         "train_steps_per_sec": round(steps_per_sec, 3),
+        "train_mfu": round(train_mfu, 4) if train_mfu else None,
         "t400_images_per_sec_per_chip": round(t400_imgs, 3),
         "batch": best_batch,
         # model FLOPs utilization of the sampler at the headline batch, from
