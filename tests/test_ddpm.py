@@ -143,3 +143,88 @@ def test_sample_cfg_requires_null_label(diff):
             _toy_eps_model, {"scale": jnp.float32(0.1)}, jax.random.key(0),
             jnp.array([0]), (2, 2, 1), cfg_scale=3.0,
         )
+
+
+# ------------------------------------------------------------------------ DDIM
+def test_ddim_step_hand_computed(diff):
+    """x_prev = sqrt(ab_prev)*x0_pred + sqrt(1-ab_prev-sigma^2)*eps + sigma*z
+    with x0_pred = (xt - sqrt(1-ab_t)*eps)/sqrt(ab_t) (Song et al. 2021 eq.12)."""
+    s = diff.schedule
+    key = jax.random.key(7)
+    xt = jax.random.normal(key, (3, 2, 2, 1))
+    eps = jax.random.normal(jax.random.fold_in(key, 1), xt.shape)
+    z = jax.random.normal(jax.random.fold_in(key, 2), xt.shape)
+    t = jnp.array([9, 5, 2])
+    t_prev = jnp.array([5, 2, 0])
+    eta = 0.7
+    got = np.asarray(diff.ddim_step(xt, t, t_prev, eps, z, eta=eta))
+    ab = np.asarray(s.alpha_bars)
+    for i, (ti, tp) in enumerate([(9, 5), (5, 2), (2, 0)]):
+        ab_t, ab_p = ab[ti], ab[tp]
+        x0 = (np.asarray(xt)[i] - np.sqrt(1 - ab_t) * np.asarray(eps)[i]) / np.sqrt(ab_t)
+        sig = eta * np.sqrt((1 - ab_p) / (1 - ab_t) * (1 - ab_t / ab_p))
+        want = (np.sqrt(ab_p) * x0 + np.sqrt(1 - ab_p - sig**2) * np.asarray(eps)[i]
+                + sig * np.asarray(z)[i])
+        np.testing.assert_allclose(got[i], want, rtol=1e-5, atol=1e-5)
+
+
+def test_ddim_step_to_x0_ignores_noise(diff):
+    """t_prev = -1 means 'to x_0': alpha_bar_prev == 1, noise scale vanishes."""
+    key = jax.random.key(8)
+    xt = jax.random.normal(key, (2, 2, 2, 1))
+    eps = jax.random.normal(jax.random.fold_in(key, 1), xt.shape)
+    z = jax.random.normal(jax.random.fold_in(key, 2), xt.shape)
+    t = jnp.array([3, 3])
+    tp = jnp.array([-1, -1])
+    a = diff.ddim_step(xt, t, tp, eps, z, eta=1.0)
+    b = diff.ddim_step(xt, t, tp, eps, z * 100, eta=1.0)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    # and the result is exactly the x0 prediction
+    ab_t = gather(diff.schedule.alpha_bars, t)
+    x0 = (xt - jnp.sqrt(1 - ab_t) * eps) / jnp.sqrt(ab_t)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(x0), rtol=1e-5, atol=1e-6)
+
+
+def test_ddim_zero_eps_telescopes(diff):
+    """With a zero eps-model and eta=0 the full-subsequence DDIM recursion
+    telescopes in closed form: x_0 = x_T / sqrt(alpha_bar_{T-1})."""
+    zero_model = lambda p, x, t, y: jnp.zeros_like(x)  # noqa: E731
+    classes = jnp.array([0, 1])
+    x_init = jax.random.normal(jax.random.key(9), (2, 2, 2, 1), jnp.float32)
+    out = diff.sample_ddim(zero_model, {}, jax.random.key(0), classes, (2, 2, 1),
+                           n_sample_steps=diff.n_steps, eta=0.0, cfg_scale=0.0,
+                           x_init=x_init)
+    want = np.asarray(x_init) / np.sqrt(float(diff.schedule.alpha_bars[-1]))
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4, atol=1e-5)
+
+
+def test_ddim_eta0_is_deterministic_in_loop_noise(diff):
+    """eta=0: the loop PRNG key must not affect the result (only x_init does)."""
+    params = {"scale": jnp.float32(0.1)}
+    classes = jnp.array([0, 1, 2, 3])
+    x_init = jax.random.normal(jax.random.key(10), (4, 4, 4, 1), jnp.float32)
+    f = jax.jit(lambda k: diff.sample_ddim(
+        _toy_eps_model, params, k, classes, (4, 4, 1), n_sample_steps=5,
+        eta=0.0, cfg_scale=3.0, null_label=10, x_init=x_init))
+    a, b = f(jax.random.key(1)), f(jax.random.key(2))
+    assert a.shape == (4, 4, 4, 1)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # eta=1 with different keys differs
+    g = jax.jit(lambda k: diff.sample_ddim(
+        _toy_eps_model, params, k, classes, (4, 4, 1), n_sample_steps=5,
+        eta=1.0, cfg_scale=3.0, null_label=10, x_init=x_init))
+    assert not np.allclose(np.asarray(g(jax.random.key(1))),
+                           np.asarray(g(jax.random.key(2))))
+
+
+def test_ddim_subsequence_shorter_is_cheaper_but_valid(diff):
+    """5-step and 10-step DDIM both produce finite outputs of the right shape
+    from the same model; fewer steps is the point of the sampler."""
+    params = {"scale": jnp.float32(0.1)}
+    classes = jnp.array([0, 1])
+    for steps in (2, 5, diff.n_steps):
+        out = diff.sample_ddim(_toy_eps_model, params, jax.random.key(3),
+                               classes, (2, 2, 1), n_sample_steps=steps,
+                               cfg_scale=3.0, null_label=10)
+        assert out.shape == (2, 2, 2, 1)
+        assert np.isfinite(np.asarray(out)).all()
