@@ -171,3 +171,28 @@ def test_sampler_sharded_over_mesh_matches_unsharded(tmp_path):
     imgs_mesh = meshed.sample(classes, cfg_scale=3.0, key=key)
     assert imgs_mesh.shape == imgs_single.shape == (10, 8, 8, 1)
     np.testing.assert_array_equal(imgs_mesh, imgs_single)
+
+
+def test_ddim_sampler_sharded_matches_unsharded():
+    """The DDIM scan under SPMD (classes sharded on the data axis) must equal
+    the unsharded run bit for bit — same guarantee as the DDPM sampler test."""
+    from ldm_tpu.diffusion.ddpm import GaussianDiffusion
+
+    diff = GaussianDiffusion(n_steps=8)
+
+    def toy(params, x, t, y):
+        tt = t.astype(jnp.float32).reshape(-1, 1, 1, 1) / 8.0
+        yy = y.astype(jnp.float32).reshape(-1, 1, 1, 1) / 10.0
+        return params["scale"] * x + 0.01 * tt - 0.01 * yy
+
+    params = {"scale": jnp.float32(0.2)}
+    classes = jnp.arange(16, dtype=jnp.int32) % 10
+    key = jax.random.key(11)
+    f = jax.jit(lambda k, y: diff.sample_ddim(
+        toy, params, k, y, (8, 8, 1), n_sample_steps=4, eta=0.0,
+        cfg_scale=3.0, null_label=10))
+    plain = np.asarray(f(key, classes))
+    mesh = create_mesh()
+    sharded_classes = jax.device_put(classes, data_sharding(mesh))
+    sharded = np.asarray(f(key, sharded_classes))
+    np.testing.assert_array_equal(plain, sharded)
