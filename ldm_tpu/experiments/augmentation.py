@@ -85,9 +85,13 @@ def generate_synthetic_dataset(
     cfg_scale: float = 3.0,
     save_dir: Optional[str] = None,
     classes: Optional[List[int]] = None,
+    sampler: str = "ddpm",
+    ddim_steps: int = 50,
 ) -> Dataset:
     """Sample ``n_per_class`` images per class with CFG (reference Phase C,
-    main.py:294-324) — batched across classes in one device call per batch."""
+    main.py:294-324) — batched across classes in one device call per batch.
+    ``sampler="ddim"`` uses the few-step DDIM sampler (capability-plus,
+    ~T/ddim_steps times cheaper generation from the same weights)."""
     classes = classes if classes is not None else list(range(num_classes))
     labels = np.repeat(np.asarray(classes, np.int32), n_per_class)
     images = np.empty(
@@ -99,7 +103,8 @@ def generate_synthetic_dataset(
         pad = batch_size - len(chunk)
         y = np.concatenate([chunk, np.zeros((pad,), np.int32)]) if pad else chunk
         key = jax.random.fold_in(trainer.state.key, 0x6E0 + i)
-        out = trainer.sample(y, cfg_scale=cfg_scale, key=key)
+        out = trainer.sample(y, cfg_scale=cfg_scale, key=key, method=sampler,
+                             ddim_steps=ddim_steps)
         images[i : i + len(chunk)] = out[: len(chunk)]
     ds = Dataset(images, labels, classes, "synthetic")
     if save_dir:
@@ -123,6 +128,8 @@ def run_augmentation_experiment(
     classifier_arch: Optional[dict] = None,
     logger: Optional[MetricsLogger] = None,
     strict_data: bool = False,
+    sampler: str = "ddpm",
+    ddim_steps: int = 50,
 ) -> AugmentationResult:
     logger = logger or MetricsLogger(config.dirpath, config.project_name)
     config.create_dirs()
@@ -166,7 +173,7 @@ def run_augmentation_experiment(
         dt, num_classes, n_per_class, batch_size=sample_batch,
         cfg_scale=config.diffusion.cfg_scale,
         save_dir=os.path.join(config.results, "synthetic") if save_png else None,
-        classes=classes,
+        classes=classes, sampler=sampler, ddim_steps=ddim_steps,
     )
 
     # ---- sample quality: pixel-feature FID, synthetic vs the real half ------

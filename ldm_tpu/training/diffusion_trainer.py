@@ -203,15 +203,26 @@ class DiffusionTrainer:
     def _build_sampler(self):
         model, diffusion = self.model, self.diffusion
 
-        def _sample(params, key, classes, cfg_scale):
-            x0 = diffusion.sample(
-                model.apply, params, key, classes, self.image_shape,
-                cfg_scale=cfg_scale, null_label=model.num_classes,
-            )
+        def _sample(params, key, classes, cfg_scale, method="ddpm",
+                    ddim_steps=50, eta=0.0):
+            if method == "ddim":
+                # capability-plus few-step sampler (ddpm.py sample_ddim) —
+                # same fused-CFG scan design at ddim_steps/T of the cost
+                x0 = diffusion.sample_ddim(
+                    model.apply, params, key, classes, self.image_shape,
+                    n_sample_steps=ddim_steps, eta=eta, cfg_scale=cfg_scale,
+                    null_label=model.num_classes,
+                )
+            else:
+                x0 = diffusion.sample(
+                    model.apply, params, key, classes, self.image_shape,
+                    cfg_scale=cfg_scale, null_label=model.num_classes,
+                )
             return self._postprocess(x0)
 
+        static = ("cfg_scale", "method", "ddim_steps", "eta")
         if self.mesh is None:
-            return jax.jit(_sample, static_argnames=("cfg_scale",))
+            return jax.jit(_sample, static_argnames=static)
         # DP generation: classes sharded on the data axis, params/key replicated —
         # the whole T-step scan then runs batch-parallel across the mesh with no
         # collectives on the step path (each chip samples its shard of the batch).
@@ -226,7 +237,7 @@ class DiffusionTrainer:
             kw["out_shardings"] = rep
         return jax.jit(
             _sample,
-            static_argnames=("cfg_scale",),
+            static_argnames=static,
             in_shardings=(rep, NamedSharding(self.mesh, P()), cls_sh),
             **kw,
         )
@@ -375,10 +386,14 @@ class DiffusionTrainer:
         cfg_scale: float = 0.0,
         key: Optional[Array] = None,
         use_ema: bool = True,
+        method: str = "ddpm",
+        ddim_steps: int = 50,
+        eta: float = 0.0,
     ) -> np.ndarray:
         """Generate one image per entry of ``classes``; returns uint8 NHWC
         (reference ``sample`` + reverse transform,
-        src/DiffusionModelTrainer.py:161-180)."""
+        src/DiffusionModelTrainer.py:161-180).  ``method="ddim"`` switches to
+        the few-step DDIM sampler (capability-plus)."""
         key = key if key is not None else jax.random.fold_in(
             self.state.key, 0x5A7712  # fixed salt: sampling stream ≠ training stream
         )
@@ -395,5 +410,6 @@ class DiffusionTrainer:
             classes = shard_batch(self.mesh, {"y": classes})["y"]
         else:
             classes = jnp.asarray(classes)
-        x0 = self._sampler(params, key, classes, float(cfg_scale))
+        x0 = self._sampler(params, key, classes, float(cfg_scale), method,
+                           int(ddim_steps), float(eta))
         return reverse_transform(jax.device_get(x0)[:n])

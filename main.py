@@ -29,6 +29,10 @@ def main() -> None:
     ap.add_argument("--save-png", action="store_true",
                     help="also write the synthetic set as an ImageFolder PNG tree")
     ap.add_argument("--classifier-epochs", type=int, default=None)
+    # capability-plus: few-step DDIM generation for Phase C (the reference
+    # protocol's default stays ancestral DDPM)
+    ap.add_argument("--sampler", choices=("ddpm", "ddim"), default="ddpm")
+    ap.add_argument("--ddim-steps", type=int, default=50)
     args = ap.parse_args()
 
     from ldm_tpu.config import load_config
@@ -47,6 +51,8 @@ def main() -> None:
         classifier_epochs=args.classifier_epochs,
         logger=logger,
         strict_data=args.strict_data,
+        sampler=args.sampler,
+        ddim_steps=args.ddim_steps,
     )
     print(json.dumps({"test_f1": result.test_f1,
                       "synthetic_size": result.synthetic_size,

@@ -86,6 +86,23 @@ def test_sample_outputs_uint8(tiny_trainer):
     assert imgs.dtype == np.uint8
 
 
+def test_sample_ddim_method(tiny_trainer):
+    """The trainer's sampler switch (capability-plus few-step DDIM) produces
+    uint8 images and is deterministic in the loop key at eta=0."""
+    k = jax.random.key(5)
+    a = tiny_trainer.sample([0, 1], cfg_scale=3.0, key=k, method="ddim",
+                            ddim_steps=3)
+    b = tiny_trainer.sample([0, 1], cfg_scale=3.0, key=jax.random.key(6),
+                            method="ddim", ddim_steps=3)
+    assert a.shape == (2, 16, 16, 1) and a.dtype == np.uint8
+    # eta=0: only x_init (drawn from the key) differs — different keys give
+    # different images, same key gives identical ones
+    c = tiny_trainer.sample([0, 1], cfg_scale=3.0, key=k, method="ddim",
+                            ddim_steps=3)
+    np.testing.assert_array_equal(a, c)
+    assert not np.array_equal(a, b)
+
+
 def test_deterministic_training(tmp_path):
     """Same config + data ⇒ bit-identical loss history (explicit PRNG threading)."""
     def run(workdir):
