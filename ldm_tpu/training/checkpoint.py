@@ -75,7 +75,13 @@ def save_params(path: str, params: Any) -> str:
 
 
 def load_params(path: str, template: Any) -> Any:
-    """Weights-only load (reference ``load_model``, src/utils.py:36-45)."""
+    """Weights-only load (reference ``load_model``, src/utils.py:36-45).
+
+    Returns HOST numpy arrays (flax ``from_bytes``).  For repeated jitted
+    calls, ``jax.device_put`` the result once first — otherwise every call
+    re-uploads the whole tree (measured ~3.5 s for the 20M-param UNet over
+    the axon tunnel).  Single-shot consumers (generate_images, resume) pay
+    that upload exactly once either way."""
     with open(path, "rb") as f:
         return serialization.from_bytes(template, f.read())
 

@@ -63,6 +63,11 @@ def test_latent_trainer_end_to_end(tmp_path):
     assert np.isfinite(hist["train_loss"][0])
     imgs = trainer.sample([0, 1], cfg_scale=3.0)
     assert imgs.shape == (2, 16, 16, 1) and imgs.dtype == np.uint8
+    # the DDIM switch is inherited from DiffusionTrainer: few-step sampling in
+    # latent space, decoded through the frozen VAE in the same jitted program
+    imgs_ddim = trainer.sample([0, 1], cfg_scale=3.0, method="ddim",
+                               ddim_steps=3)
+    assert imgs_ddim.shape == (2, 16, 16, 1) and imgs_ddim.dtype == np.uint8
 
 
 def test_encode_decode_roundtrip_scaling():
