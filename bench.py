@@ -302,6 +302,26 @@ def main():
         model, GaussianDiffusion(n_steps=400), params, best_batch
     ) / n_chips
 
+    # capability-plus: 50-step DDIM from the same weights (diffusion/ddpm.py
+    # sample_ddim — rate is weight-independent, quality evidence in
+    # perf/probe17_ddim.json from the trained protocol checkpoint)
+    d400 = GaussianDiffusion(n_steps=400)
+    classes_ddim = jnp.arange(best_batch, dtype=jnp.int32) % 10
+
+    @jax.jit
+    def _ddim_run(params, key):
+        return d400.sample_ddim(model.apply, params, key, classes_ddim,
+                                (32, 32, 3), n_sample_steps=50,
+                                cfg_scale=3.0, null_label=10)
+
+    np.asarray(_ddim_run(params, jax.random.key(0)))
+    _times = []
+    for i in range(3):
+        _t0 = time.perf_counter()
+        np.asarray(_ddim_run(params, jax.random.key(i + 1)))
+        _times.append(time.perf_counter() - _t0)
+    ddim50_imgs = best_batch / min(_times) / n_chips
+
     # ---- baselines: the style sweep and the torch-CPU measurement cache
     # independently (a failed torch import must not discard the expensive
     # same-chip style sweep, and vice versa).
@@ -361,6 +381,7 @@ def main():
         "vs_reference_style_same_chip": round(imgs_per_sec / ref_style, 2),
         "train_steps_per_sec": round(steps_per_sec, 3),
         "train_mfu": round(train_mfu, 4) if train_mfu else None,
+        "ddim50_images_per_sec_per_chip": round(ddim50_imgs, 3),
         "t400_images_per_sec_per_chip": round(t400_imgs, 3),
         "batch": best_batch,
         # model FLOPs utilization of the sampler at the headline batch, from
