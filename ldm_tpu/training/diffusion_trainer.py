@@ -61,14 +61,16 @@ class DiffusionTrainer:
         assert config.loss_fn == "mse", "diffusion training uses MSE (src/Trainer.py:62)"
         self.config = config
         self.model = model
-        # Gradient computation forces the XLA attention path: the Pallas
-        # forward's custom VJP recomputes through XLA anyway (so pallas under
-        # grad is strictly extra work), and the vjp-of-pallas-in-epoch-scan
-        # compile was measured pathological (>20 min) on the tunnel toolchain.
-        # Forward-only programs (eval, sampling) keep the fused kernel.
+        # Gradient computation forces the XLA attention path UNCONDITIONALLY
+        # (incl. explicit attention_impl="pallas" configs, ADVICE round 2):
+        # the Pallas forward's custom VJP recomputes through XLA anyway (so
+        # pallas under grad is strictly extra work), and the
+        # vjp-of-pallas-in-epoch-scan compile was measured pathological
+        # (>20 min) on the tunnel toolchain.  Forward-only programs (eval,
+        # sampling) keep the fused kernel.
         self._train_model = (
             model.clone(attention_impl="xla")
-            if getattr(model, "attention_impl", "unset") in (None, "auto")
+            if getattr(model, "attention_impl", "xla") != "xla"
             else model
         )
         self.diffusion = diffusion
@@ -102,6 +104,7 @@ class DiffusionTrainer:
             patience=config.early_stopping_patience,
             verbose=True,
             save_fn=self._save_best,
+            min_delta_rel=getattr(config, "early_stopping_min_delta_rel", 0.0),
         )
 
     # ------------------------------------------------------------- jit builds

@@ -106,3 +106,133 @@ def build_epoch_scan(
         rep = replicated(mesh)
         kw["in_shardings"] = (rep, rep, rep, rep)
     return EpochScan(jax.jit(epoch_fn, **kw), (imgs, labels), n_batches, b)
+
+
+def _select_new(valid, new_tree, old_tree):
+    """Per-leaf ``where(valid, new, old)`` that tolerates typed PRNG-key leaves
+    and skips leaves the step didn't touch (``.replace()`` keeps identity)."""
+
+    def sel(n, o):
+        if n is o:
+            return n
+        if hasattr(n, "dtype") and jnp.issubdtype(n.dtype, jax.dtypes.prng_key):
+            return jax.random.wrap_key_data(
+                jnp.where(valid, jax.random.key_data(n), jax.random.key_data(o))
+            )
+        return jnp.where(valid, n, o)
+
+    return jax.tree.map(sel, new_tree, old_tree)
+
+
+class PaddedEpochScan:
+    """ONE compiled epoch program reused across datasets of different sizes.
+
+    ``EpochScan`` traces ``n_batches`` into the compiled program, so every
+    dataset size costs a fresh epoch-scan compile on the 1-core host — the
+    round-2 protocol's five classifier mixes spent ~38 of 92 minutes in
+    exactly these recompiles (VERDICT round 2, weak #1).  Here the dataset
+    arrays are padded to a fixed sample CAPACITY and the valid sample count
+    rides in as a traced scalar: the scan always runs ``capacity // b`` steps,
+    shuffling ranks valid samples first (masked sort keys), and steps beyond
+    ``n_valid // b`` still compute but their state update and metrics are
+    masked to no-ops — so one compile serves every mix, at the cost of
+    computing the padding batches (≤ 10% at the protocol's mix sizes, vs
+    ~7 min of recompile per mix).
+
+    Call with ``(state, epoch index)`` like EpochScan; step outputs gain a
+    ``"valid"`` 0/1 entry per step — average metrics as
+    ``sum(out * valid) / sum(valid)``.
+    """
+
+    SHUFFLE_SALT = EpochScan.SHUFFLE_SALT
+
+    def __init__(self, step_body: StepBody, batch_size: int, capacity: int,
+                 image_shape, image_dtype=jnp.uint8, mesh=None,
+                 shuffle: bool = True):
+        if capacity < batch_size:
+            raise ValueError(f"capacity {capacity} < batch_size {batch_size}")
+        self.batch_size = batch_size
+        self.capacity = capacity
+        self.max_batches = capacity // batch_size
+        self.mesh = mesh
+        self._data = None  # (images, labels, n_valid) device arrays
+        self._n_valid = 0
+        b = batch_size
+        max_batches = self.max_batches
+
+        def epoch_fn(state, images, labels, n_valid, epoch_key):
+            cap = images.shape[0]
+            pos = jnp.arange(cap)
+            r = (jax.random.uniform(epoch_key, (cap,)) if shuffle
+                 else pos.astype(jnp.float32) / cap)
+            # padding samples sort last: valid samples fill the leading batches
+            r = jnp.where(pos < n_valid, r, 2.0)
+            perm = jnp.argsort(r)
+            idx = perm[: max_batches * b].reshape(max_batches, b)
+            n_valid_batches = n_valid // b
+
+            def step(state, si):
+                i, ib = si
+                img = images[ib].astype(jnp.float32) / 255.0 * 2.0 - 1.0
+                batch = {"image": img, "label": labels[ib]}
+                if mesh is not None:
+                    batch = jax.lax.with_sharding_constraint(
+                        batch, data_sharding(mesh)
+                    )
+                new_state, out = step_body(state, batch)
+                valid = i < n_valid_batches
+                state = _select_new(valid, new_state, state)
+                out = jax.tree.map(
+                    lambda o: jnp.where(valid, o, jnp.zeros_like(o)), out
+                )
+                out["valid"] = valid.astype(jnp.int32)
+                return state, out
+
+            return jax.lax.scan(step, state, (jnp.arange(max_batches), idx))
+
+        kw = {"donate_argnums": (0,)}
+        if mesh is not None:
+            rep = replicated(mesh)
+            kw["in_shardings"] = (rep, rep, rep, rep, rep)
+        self._fn = jax.jit(epoch_fn, **kw)
+
+        # device-resident padded buffers, allocated once
+        h = tuple(image_shape)
+        if mesh is not None:
+            from ldm_tpu.parallel.distributed import host_to_global
+
+            rep = replicated(mesh)
+            self._upload = lambda a: host_to_global(rep, a)
+        else:
+            self._upload = jnp.asarray
+        self._image_shape = h
+        self._image_dtype = image_dtype
+
+    @property
+    def n_batches(self) -> int:
+        """Valid (non-padding) batches of the current dataset."""
+        return self._n_valid // self.batch_size
+
+    def set_data(self, images: np.ndarray, labels: np.ndarray) -> None:
+        """Upload a dataset (padded to capacity) — no recompile."""
+        n = len(images)
+        if n > self.capacity:
+            raise ValueError(f"dataset size {n} exceeds capacity {self.capacity}")
+        pad = self.capacity - n
+        imgs = np.asarray(images, self._image_dtype)
+        labs = np.asarray(labels, np.int32)
+        if pad:
+            imgs = np.concatenate([imgs, np.zeros((pad,) + imgs.shape[1:],
+                                                  imgs.dtype)])
+            labs = np.concatenate([labs, np.zeros((pad,), np.int32)])
+        self._data = (self._upload(imgs), self._upload(labs),
+                      self._upload(np.int32(n)))
+        self._n_valid = n
+
+    def __call__(self, state, epoch: int):
+        if self._data is None:
+            raise RuntimeError("PaddedEpochScan: call set_data() first")
+        epoch_key = jax.random.fold_in(
+            jax.random.fold_in(state.key, self.SHUFFLE_SALT), epoch
+        )
+        return self._fn(state, *self._data, epoch_key)

@@ -13,6 +13,7 @@ reference has none): ``ema = d*ema + (1-d)*params`` with the standard
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import jax
@@ -74,7 +75,14 @@ class TrainState(struct.PyTreeNode):
         return jax.random.fold_in(self.key, self.step)
 
 
+@functools.lru_cache(maxsize=None)
 def make_optimizer(lr: float) -> optax.GradientTransformation:
     """Adam with the reference's hyperparameters (src/Trainer.py:68-71: torch Adam
-    defaults betas=(0.9, 0.999), eps=1e-8)."""
+    defaults betas=(0.9, 0.999), eps=1e-8).
+
+    Memoized by ``lr``: ``tx`` is a STATIC field of TrainState (closures, not a
+    pytree), so two calls returning distinct-but-equivalent transformation
+    objects would make every jitted program keyed on the state recompile.
+    Trainer ``reset()`` (the five-mix protocol reuse path) depends on the same
+    lr yielding the identical object."""
     return optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)

@@ -33,6 +33,10 @@ def main() -> None:
     # protocol's default stays ancestral DDPM)
     ap.add_argument("--sampler", choices=("ddpm", "ddim"), default="ddpm")
     ap.add_argument("--ddim-steps", type=int, default=50)
+    ap.add_argument("--negative-control", action="store_true",
+                    help="also generate a deliberately broken synthetic set "
+                         "(5-step, cfg=0) and report its FID proxies — "
+                         "evidence the quality metrics can fail")
     args = ap.parse_args()
 
     from ldm_tpu.config import load_config
@@ -53,11 +57,16 @@ def main() -> None:
         strict_data=args.strict_data,
         sampler=args.sampler,
         ddim_steps=args.ddim_steps,
+        negative_control=args.negative_control,
     )
-    print(json.dumps({"test_f1": result.test_f1,
-                      "synthetic_size": result.synthetic_size,
-                      "fid_pixel": result.fid_pixel,
-                      "fid_classifier": result.fid_classifier}, indent=2))
+    out = {"test_f1": result.test_f1,
+           "synthetic_size": result.synthetic_size,
+           "fid_pixel": result.fid_pixel,
+           "fid_classifier": result.fid_classifier}
+    if result.fid_pixel_broken is not None:
+        out["fid_pixel_broken"] = result.fid_pixel_broken
+        out["fid_classifier_broken"] = result.fid_classifier_broken
+    print(json.dumps(out, indent=2))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,199 @@
+"""PaddedEpochScan: one compiled epoch program reused across dataset sizes
+(VERDICT round 2 next-round item 1 — the five-mix classifier recompiles).
+
+Covers: exact equivalence with the unpadded scan at full capacity, no-op
+masking of padding batches, program reuse across set_data swaps (zero
+recompiles), ResNetTrainer.reset()/set_train_data() reuse, and the relative
+min-delta early stopping that makes saturating runs actually stop."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ldm_tpu.config import Config, DataConfig, ModelConfig
+from ldm_tpu.data.datasets import synthetic_dataset
+from ldm_tpu.data.loader import DataLoader
+from ldm_tpu.training.early_stopping import EarlyStopping
+from ldm_tpu.training.scan_epochs import (
+    EpochScan, PaddedEpochScan, build_epoch_scan,
+)
+from ldm_tpu.training.state import TrainState, make_optimizer
+
+
+def _counting_step_body(state, batch):
+    """A deterministic toy step: params -= mean(image); loss = that mean."""
+    m = jnp.mean(batch["image"]) + 0.001 * jnp.mean(
+        batch["label"].astype(jnp.float32)
+    )
+    grads = jax.tree.map(lambda p: jnp.full_like(p, m), state.params)
+    new = state.apply_gradients(grads)
+    return new, {"loss": m}
+
+
+def _state():
+    params = {"w": jnp.ones((4,), jnp.float32)}
+    return TrainState.create(params, make_optimizer(0.1), jax.random.key(7))
+
+
+def _loader(n, b=8, shuffle=False, seed=0):
+    ds = synthetic_dataset(n, 8, 1, seed=seed)
+    return DataLoader(ds, b, shuffle=shuffle, seed=seed)
+
+
+def test_padded_equals_unpadded_at_full_capacity():
+    """capacity == dataset size, shuffle off: identical batch order, identical
+    final state and per-step losses as the traced-n_batches EpochScan."""
+    loader = _loader(32, b=8, shuffle=False)
+    ref = build_epoch_scan(_counting_step_body, loader)
+    assert isinstance(ref, EpochScan)
+    pad = PaddedEpochScan(_counting_step_body, 8, 32, image_shape=(8, 8, 1),
+                          shuffle=False)
+    pad.set_data(loader.dataset.images, loader.dataset.labels)
+
+    s_ref, out_ref = ref(_state(), 0)
+    s_pad, out_pad = pad(_state(), 0)
+    np.testing.assert_allclose(np.asarray(s_ref.params["w"]),
+                               np.asarray(s_pad.params["w"]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_ref["loss"]),
+                               np.asarray(out_pad["loss"]), rtol=1e-6)
+    assert int(s_pad.step) == 4
+    assert np.asarray(out_pad["valid"]).sum() == 4
+
+
+def test_padding_batches_are_noops():
+    """A 16-sample dataset in a 40-sample-capacity program: only 2 of the 5
+    scan steps update the state; masked steps contribute zeroed metrics."""
+    loader = _loader(16, b=8, shuffle=False)
+    pad = PaddedEpochScan(_counting_step_body, 8, 40, image_shape=(8, 8, 1),
+                          shuffle=False)
+    pad.set_data(loader.dataset.images, loader.dataset.labels)
+    assert pad.max_batches == 5 and pad.n_batches == 2
+
+    s, out = pad(_state(), 0)
+    valid = np.asarray(out["valid"])
+    assert valid.tolist() == [1, 1, 0, 0, 0]
+    assert int(s.step) == 2  # masked steps must not advance the optimizer
+    assert np.all(np.asarray(out["loss"])[2:] == 0.0)
+
+    # and the 2 valid steps match an unpadded run on the same data
+    ref = build_epoch_scan(_counting_step_body, loader)
+    s_ref, out_ref = ref(_state(), 0)
+    np.testing.assert_allclose(np.asarray(s.params["w"]),
+                               np.asarray(s_ref.params["w"]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["loss"])[:2],
+                               np.asarray(out_ref["loss"]), rtol=1e-6)
+
+
+def test_set_data_reuses_one_compile():
+    """Swapping datasets of different sizes must NOT add jit cache entries —
+    this is the whole point (one compile across the five protocol mixes)."""
+    pad = PaddedEpochScan(_counting_step_body, 8, 48, image_shape=(8, 8, 1),
+                          shuffle=True)
+    sizes = [48, 32, 17, 8]
+    for i, n in enumerate(sizes):
+        ds = synthetic_dataset(n, 8, 1, seed=i)
+        pad.set_data(ds.images, ds.labels)
+        s, out = pad(_state(), 0)
+        assert int(s.step) == n // 8
+        assert np.asarray(out["valid"]).sum() == n // 8
+    assert pad._fn._cache_size() == 1
+
+    with pytest.raises(ValueError):
+        pad.set_data(np.zeros((49, 8, 8, 1), np.uint8), np.zeros((49,)))
+
+
+def test_padded_shuffle_draws_only_valid_samples():
+    """With shuffle on, valid batches must gather only real (non-padding)
+    samples: mark padding-region labels via capacity > n and check the step
+    sees no label from the padded tail."""
+    n, cap, b = 24, 64, 8
+    ds = synthetic_dataset(n, 8, 1, seed=3)
+    labels = np.full((n,), 1, np.int32)  # all real labels are 1
+
+    seen = []
+
+    def spy_body(state, batch):
+        seen.append(None)  # traced once
+        return state, {"lab_min": jnp.min(batch["label"]),
+                       "lab_max": jnp.max(batch["label"])}
+
+    pad = PaddedEpochScan(spy_body, b, cap, image_shape=(8, 8, 1), shuffle=True)
+    pad.set_data(ds.images, labels)  # padding labels are 0
+    for epoch in range(3):
+        _, out = pad(_state(), epoch)
+        valid = np.asarray(out["valid"]).astype(bool)
+        assert valid.sum() == n // b
+        # valid steps: all labels == 1 (no padding sample leaked in)
+        assert np.all(np.asarray(out["lab_min"])[valid] == 1)
+        assert np.all(np.asarray(out["lab_max"])[valid] == 1)
+
+
+def test_resnet_trainer_reset_and_swap(tmp_path):
+    """reset()+set_train_data() retrains from scratch on a new dataset with
+    the SAME compiled programs (the exp1..exp5 reuse path)."""
+    from ldm_tpu.models.resnet import ResNetBase
+    from ldm_tpu.training.resnet_trainer import ResNetTrainer
+
+    cfg = Config(project_name="pads", workdir=str(tmp_path), epochs=2,
+                 batch_size=8, loss_fn="cross-entropy", seed=0,
+                 data=DataConfig(dataset="SYNTHETIC", image_size=8,
+                                 image_channels=1, num_classes=4),
+                 model=ModelConfig())
+    ds_a = synthetic_dataset(32, 8, 1, seed=0, num_classes=4)
+    ds_b = synthetic_dataset(24, 8, 1, seed=1, num_classes=4)
+    val = synthetic_dataset(16, 8, 1, seed=2, num_classes=4)
+    model = ResNetBase(img_channels=1, out_channels=4, n_blocks=(1, 1),
+                       n_channels=(4, 8))
+    rt = ResNetTrainer(
+        cfg, model, DataLoader(ds_a, 8, seed=0), DataLoader(val, 8, seed=1),
+        classes=list(range(4)), name="resnet_a", pad_train_to=32,
+    )
+    rt.train()
+    params_a = jax.device_get(rt.state.params)
+    step_a = int(rt.state.step)
+    assert step_a == 2 * (32 // 8)
+
+    rt.reset(seed=123, name="resnet_b")
+    rt.set_train_data(ds_b)
+    assert int(rt.state.step) == 0
+    assert rt.early_stopping.counter == 0 and not rt.early_stopping.early_stop
+    rt.train()
+    assert int(rt.state.step) == 2 * (24 // 8)
+    # fresh init: params differ from run A's trained params
+    la = jax.tree.leaves(params_a)[0]
+    lb = jax.tree.leaves(jax.device_get(rt.state.params))[0]
+    assert not np.allclose(np.asarray(la), np.asarray(lb))
+    # one compile total for the epoch program across both datasets
+    assert rt._epoch_scan._fn._cache_size() == 1
+
+
+def test_early_stopping_min_delta_rel():
+    """Saturating val losses (incl. exact-0 ties) must exhaust patience when
+    min_delta_rel > 0; with it at 0 the reference semantics (ties improve)
+    are preserved bit-for-bit (test_training.test_early_stopping_semantics)."""
+    es = EarlyStopping(patience=3, min_delta_rel=0.01)
+    es(1.0, None)
+    es(0.5, None)            # 50% improvement: resets
+    assert es.counter == 0
+    es(0.4999, None)         # 0.02% improvement < 1% of best: counts
+    assert es.counter == 1
+    es(0.5, None)
+    es(0.5, None)
+    assert es.early_stop     # patience 3 exhausted
+
+    # exact-0 saturation (round-2 exp1: val loss 0.0 from epoch 6 ran 100
+    # epochs under reference semantics) now stops after `patience` ties
+    es0 = EarlyStopping(patience=2, min_delta_rel=0.01)
+    es0(1e-6, None)
+    es0(0.0, None)           # improvement 1e-6 > 1% of 1e-6: resets
+    assert es0.counter == 0
+    es0(0.0, None)
+    es0(0.0, None)
+    assert es0.early_stop
+
+    # reference parity when disabled: tie counts as improvement forever
+    ref = EarlyStopping(patience=2, min_delta_rel=0.0)
+    for _ in range(10):
+        ref(0.0, None)
+    assert not ref.early_stop
