@@ -185,46 +185,56 @@ def bench_train_step(model, diffusion, params):
 
     Measured as a lax.scan over steps — the framework's actual stepping mode
     (DiffusionTrainer runs whole epochs as one scan over a device-resident
-    dataset), so per-dispatch latency doesn't pollute the number.  MFU from
-    XLA cost analysis of the compiled step (fwd+bwd+Adam+EMA); at B=64 the
-    optimizer's fp32 param/moment streams alone are a ~1 ms/step HBM floor
-    (perf/probe16.json, docs/perf_round2.md §10), so train MFU is
+    dataset), so per-dispatch latency doesn't pollute the number.  Attention
+    runs the trainer's actual gradient configuration ("auto_grads": fused
+    Pallas fwd + hand-written Pallas bwd at the measured shapes, round 3).
+    MFU from XLA cost analysis of the compiled step (fwd+bwd+Adam+EMA); at
+    B=64 the optimizer's fp32 param/moment streams alone are a ~1 ms/step
+    HBM floor (perf/probe16.json, docs/perf_round2.md §10), so train MFU is
     structurally lower than the sampler's."""
     from ldm_tpu.training.state import TrainState, make_optimizer
 
+    train_model = model.clone(attention_impl="auto_grads")
+    flops_model = build_flops_twin(model)  # cost analysis can't see Pallas
     state = TrainState.create(params, make_optimizer(5e-4), jax.random.key(1))
     images = jnp.zeros((64, 32, 32, 3), jnp.float32)
     labels = jnp.zeros((64,), jnp.int32)
     n = 50
 
-    def step(state, _):
-        key = state.step_key()
-        k_noise, k_drop = jax.random.split(key)
-        eps, xt, t = diffusion.noise_batch(k_noise, images)
-        y = jnp.where(jax.random.bernoulli(k_drop, 0.1), jnp.int32(10), labels)
+    def make_step(m):
+        def step(state, _):
+            key = state.step_key()
+            k_noise, k_drop = jax.random.split(key)
+            eps, xt, t = diffusion.noise_batch(k_noise, images)
+            y = jnp.where(jax.random.bernoulli(k_drop, 0.1), jnp.int32(10),
+                          labels)
 
-        def loss_fn(p):
-            return jnp.mean((eps - model.apply(p, xt, t, y)) ** 2)
+            def loss_fn(p):
+                return jnp.mean((eps - m.apply(p, xt, t, y)) ** 2)
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
-        return state.apply_gradients(grads), loss
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            return state.apply_gradients(grads), loss
+
+        return step
+
+    # FLOPs from ONE XLA-twin step (no scan: trip-count-ambiguity-free)
+    step_f = make_step(flops_model)
+    ca = jax.jit(lambda s: step_f(s, None)).lower(state).compile().cost_analysis()
+    flops_per_step = float(ca.get("flops", 0.0)) if ca else 0.0
 
     @jax.jit
     def run(state):
-        return jax.lax.scan(step, state, None, length=n)
+        return jax.lax.scan(make_step(train_model), state, None, length=n)
 
-    compiled = run.lower(state).compile()
-    ca = compiled.cost_analysis()
-    flops = float(ca.get("flops", 0.0)) if ca else 0.0
-    # some toolchains multiply in the scan trip count — normalize it away
-    # (one fwd+bwd step at B=64 is ~0.3 TFLOP; the 50-step module would be ~15)
-    flops_per_step = flops / n if flops > 1e12 else flops
     state, losses = run(state)
     np.asarray(losses)
-    t0 = time.perf_counter()
-    state, losses = run(state)
-    np.asarray(losses)
-    steps_per_sec = n / (time.perf_counter() - t0)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        state, losses = run(state)
+        np.asarray(losses)
+        times.append(time.perf_counter() - t0)
+    steps_per_sec = n / min(times)
     mfu = (flops_per_step * steps_per_sec / V5E_BF16_PEAK_FLOPS
            if flops_per_step > 0 else None)
     return steps_per_sec, mfu

@@ -115,6 +115,10 @@ class Config:
     # host link, so long runs should raise checkpoint_every.
     sample_every: int = 2
     checkpoint_every: int = 1
+    # Per-tensor histogram watch cadence in epochs (0 = never) — the heavier
+    # equivalent of the reference's wandb.watch(log="all") (main.py:184);
+    # global norms are always logged regardless.
+    watch_histograms_every: int = 0
     # NaN sanitizer: aborts the program at the op that produced a NaN
     # (jax_debug_nans) — the TPU-native stand-in for the reference's nonexistent
     # numeric debugging story (SURVEY.md §5). Applied by the entry points via
@@ -130,7 +134,7 @@ class Config:
     def __post_init__(self) -> None:
         # Cadence knobs feed modulo checks in the trainers — 0 means "never"
         # (handled explicitly there); negative values are config errors.
-        for knob in ("sample_every", "checkpoint_every"):
+        for knob in ("sample_every", "checkpoint_every", "watch_histograms_every"):
             v = getattr(self, knob)
             if not isinstance(v, int) or v < 0:
                 raise ValueError(

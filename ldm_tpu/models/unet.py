@@ -265,14 +265,31 @@ class LinAttnBlock(nn.Module):
         if impl == "auto":
             # measured per-shape winner on a real TPU; XLA everywhere else
             impl = "pallas" if prefer_pallas(b, hh * ww, c, self.dtype) else "xla"
-        fn = linear_attention_block if impl == "pallas" else linear_attention_block_xla
+        elif impl == "auto_grads":
+            # gradient programs (round 3): fused Pallas fwd + hand-written
+            # Pallas bwd at the measured shapes (+8% full train step,
+            # perf/probe18.json), XLA elsewhere
+            impl = ("pallas_grads" if prefer_pallas(b, hh * ww, c, self.dtype)
+                    else "xla")
         kw = dict(heads=self.heads, dim_head=self.dim_head, compute_dtype=self.dtype)
         if impl == "pallas":
-            y = fn(x.reshape(b, hh * ww, c), wqkv, wout, bout, g1s, g1b, g2s, g2b,
-                   self.heads, self.dim_head, 1e-5, self.dtype)
+            y = linear_attention_block(
+                x.reshape(b, hh * ww, c), wqkv, wout, bout, g1s, g1b, g2s, g2b,
+                self.heads, self.dim_head, 1e-5, self.dtype)
+        elif impl == "pallas_grads":
+            # fused Pallas forward AND hand-written Pallas backward (round 3:
+            # gradient programs keep the fused formulation end to end)
+            from ldm_tpu.ops.linear_attention import (
+                linear_attention_block_fused_grads,
+            )
+
+            y = linear_attention_block_fused_grads(
+                x.reshape(b, hh * ww, c), wqkv, wout, bout, g1s, g1b, g2s, g2b,
+                self.heads, self.dim_head, 1e-5, self.dtype)
         else:
-            y = fn(x.reshape(b, hh * ww, c), wqkv, wout, bout, g1s, g1b, g2s, g2b,
-                   **kw)
+            y = linear_attention_block_xla(
+                x.reshape(b, hh * ww, c), wqkv, wout, bout, g1s, g1b, g2s, g2b,
+                **kw)
         return y.reshape(b, hh, ww, c)
 
 

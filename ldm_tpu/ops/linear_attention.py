@@ -404,6 +404,215 @@ def _fused_kernel_packed(
     o_ref[...] = (xf + o).astype(o_ref.dtype).reshape(g, np_, c2)
 
 
+# ------------------------------------------------------------- Pallas backward
+def _fused_kernel_bwd(
+    x_ref, dy_ref, wqkv_ref, wout_ref, bout_ref, g1s_ref, g1b_ref, g2s_ref,
+    g2b_ref,
+    dx_ref, dwqkv_ref, dwout_ref, dbout_ref, dg1s_ref, dg1b_ref, dg2s_ref,
+    dg2b_ref,
+    *, heads: int, dim_head: int, eps: float, compute_dtype,
+):
+    """Hand-derived VJP of the fused block (round 3, VERDICT item 3).
+
+    The op's round-2 gradient path recomputed the whole block through the XLA
+    implementation (``jax.vjp`` in ``_bwd``), which (a) re-pays the forward
+    and (b) keeps the XLA attention formulation — with its layout copies and
+    GroupNorm-stats fusions — in every gradient program (docs/perf_round2.md
+    §10: those two groups are 39% of the train step).  This kernel computes
+    the exact same gradients in one pass: forward intermediates are
+    recomputed in VMEM (flash-attention style — HBM reads are just x, dy and
+    the weights), then the chain runs backward with every contraction
+    MXU-shaped and every per-item reduction slice-wise, mirroring the
+    forward's layout rules.
+
+    Weight/affine gradients accumulate ACROSS grid programs into f32 output
+    refs (same-block out_specs; initialized at program 0 — the TPU grid is
+    sequential so read-modify-write is race-free).
+
+    Derivation sketch (per item; μ/σ over the whole (N, C) slab, num_groups=1;
+    softmax shifts are constants under the vjp — they cancel exactly):
+
+        GN:    dÂ = dH⊙g;  dA = (dÂ - mean(dÂ) - Â⊙mean(dÂ⊙Â)) / σ
+        q-sm:  dq = qn ⊙ (dqn - ((qn⊙dqn)@seg) / s),   s = dim_head^-0.5
+        k-sm:  dk = kn ⊙ (dkn - colsum_item(kn⊙dkn))
+        ctx:   dkn = v@dctxᵀ, dv = kn@dctx, dctx = (dcw@Woutᵀ)⊙seg
+        out:   dqn = do@cwᵀ, dcw = qnᵀ@do, dWout += Σ ctxᵀ@dcw
+    """
+    cd = compute_dtype
+    f32 = jnp.float32
+    g, n, c = x_ref.shape
+    gn = g * n
+    hidden = heads * dim_head
+    scale = dim_head ** -0.5
+    x = x_ref[...].reshape(gn, c)
+    dy = dy_ref[...].reshape(gn, c).astype(f32)
+    xf = x.astype(f32)
+
+    row_h = jax.lax.broadcasted_iota(jnp.int32, (hidden, hidden), 0) // dim_head
+    col_h = jax.lax.broadcasted_iota(jnp.int32, (hidden, hidden), 1) // dim_head
+    seg = (row_h == col_h).astype(cd)
+    segf = seg.astype(f32)
+
+    # ---------- forward recompute (identical math/dtypes to _fused_kernel) ---
+    g1s = g1s_ref[...].astype(f32)
+    g1b = g1b_ref[...].astype(f32)
+    xhat_slabs, inv1 = [], []
+    for gi in range(g):
+        sl = xf[gi * n : (gi + 1) * n]
+        mu = jnp.sum(sl) / (n * c)
+        var = jnp.sum(sl * sl) / (n * c) - mu * mu
+        iv = jax.lax.rsqrt(var + eps)
+        inv1.append(iv)
+        xhat_slabs.append((sl - mu) * iv)
+    xhat = jnp.concatenate(xhat_slabs, axis=0) if g > 1 else xhat_slabs[0]
+    h = (xhat * g1s + g1b).astype(cd)
+
+    wqkv = wqkv_ref[...].astype(cd)
+    wq, wk, wv = (wqkv[:, :hidden], wqkv[:, hidden : 2 * hidden],
+                  wqkv[:, 2 * hidden :])
+    q = jnp.dot(h, wq, preferred_element_type=f32).astype(cd)
+    k = jnp.dot(h, wk, preferred_element_type=f32).astype(cd)
+    v = jnp.dot(h, wv, preferred_element_type=f32).astype(cd)
+
+    q_shift = q.astype(f32).max(axis=-1, keepdims=True).astype(cd)
+    q_e = jnp.exp(q - q_shift)
+    q_sum = jnp.dot(q_e, seg, preferred_element_type=f32)
+    qn = (q_e.astype(f32) / q_sum * scale).astype(cd)
+
+    kn_slabs = []
+    for gi in range(g):
+        sl = k[gi * n : (gi + 1) * n]
+        sh = sl.astype(f32).max(axis=0, keepdims=True).astype(cd)
+        e = jnp.exp(sl - sh).astype(f32)
+        kn_slabs.append((e / jnp.sum(e, axis=0, keepdims=True)).astype(cd))
+    kn = jnp.concatenate(kn_slabs, axis=0) if g > 1 else kn_slabs[0]
+
+    ctx = jax.lax.dot_general(
+        kn.reshape(g, n, hidden), v.reshape(g, n, hidden),
+        (((1,), (1,)), ((0,), (0,))), preferred_element_type=f32,
+    ).reshape(g * hidden, hidden)
+    ctx = (ctx * jnp.tile(segf, (g, 1))).astype(cd)
+    wout = wout_ref[...].astype(cd)
+    cw = jnp.dot(ctx, wout, preferred_element_type=f32).astype(cd)
+    o = jax.lax.dot_general(
+        qn.reshape(g, n, hidden), cw.reshape(g, hidden, c),
+        (((2,), (1,)), ((0,), (0,))), preferred_element_type=f32,
+    ).reshape(gn, c) + bout_ref[...].astype(f32)
+
+    ohat_slabs, inv2 = [], []
+    for gi in range(g):
+        sl = o[gi * n : (gi + 1) * n]
+        mu = jnp.sum(sl) / (n * c)
+        var = jnp.sum(sl * sl) / (n * c) - mu * mu
+        iv = jax.lax.rsqrt(var + eps)
+        inv2.append(iv)
+        ohat_slabs.append((sl - mu) * iv)
+    ohat = jnp.concatenate(ohat_slabs, axis=0) if g > 1 else ohat_slabs[0]
+
+    # ---------- backward chain ----------------------------------------------
+    g2s = g2s_ref[...].astype(f32)
+    # GN2: per-channel affine grads; per-item stats backward
+    dg2_c = jnp.sum(dy * ohat, axis=0, keepdims=True)
+    db2_c = jnp.sum(dy, axis=0, keepdims=True)
+    dhat2 = dy * g2s
+    do_slabs = []
+    for gi in range(g):
+        dsl = dhat2[gi * n : (gi + 1) * n]
+        osl = ohat[gi * n : (gi + 1) * n]
+        m1 = jnp.sum(dsl) / (n * c)
+        m2 = jnp.sum(dsl * osl) / (n * c)
+        do_slabs.append((dsl - m1 - osl * m2) * inv2[gi])
+    do = jnp.concatenate(do_slabs, axis=0) if g > 1 else do_slabs[0]
+    dbout_c = jnp.sum(do, axis=0, keepdims=True)
+    do_cd = do.astype(cd)
+
+    # out projection: dqn = do @ cwT (per item), dcw = qnT @ do (per item)
+    dqn = jax.lax.dot_general(
+        do_cd.reshape(g, n, c), cw.reshape(g, hidden, c),
+        (((2,), (2,)), ((0,), (0,))), preferred_element_type=f32,
+    ).reshape(gn, hidden)
+    dcw = jax.lax.dot_general(
+        qn.reshape(g, n, hidden), do_cd.reshape(g, n, c),
+        (((1,), (1,)), ((0,), (0,))), preferred_element_type=f32,
+    ).reshape(g * hidden, c)
+    dcw_cd = dcw.astype(cd)
+    dwout_c = jnp.dot(ctx.T, dcw_cd, preferred_element_type=f32)
+    dctx = (jnp.dot(dcw_cd, wout.T, preferred_element_type=f32)
+            * jnp.tile(segf, (g, 1))).astype(cd)
+
+    # context: dkn = v @ dctxT, dv = kn @ dctx  (per item)
+    dkn = jax.lax.dot_general(
+        v.reshape(g, n, hidden), dctx.reshape(g, hidden, hidden),
+        (((2,), (2,)), ((0,), (0,))), preferred_element_type=f32,
+    ).reshape(gn, hidden)
+    dv = jax.lax.dot_general(
+        kn.reshape(g, n, hidden), dctx.reshape(g, hidden, hidden),
+        (((2,), (1,)), ((0,), (0,))), preferred_element_type=f32,
+    ).reshape(gn, hidden)
+
+    # k softmax backward: per item, per column
+    knf = kn.astype(f32)
+    dk_slabs = []
+    for gi in range(g):
+        ksl = knf[gi * n : (gi + 1) * n]
+        dsl = dkn[gi * n : (gi + 1) * n]
+        inner = jnp.sum(ksl * dsl, axis=0, keepdims=True)
+        dk_slabs.append(ksl * (dsl - inner))
+    dk = jnp.concatenate(dk_slabs, axis=0) if g > 1 else dk_slabs[0]
+
+    # q softmax backward: per row, per head block (seg matmul for the rowsum)
+    qnf = qn.astype(f32)
+    rowdot = jnp.dot((qnf * dqn).astype(cd), seg, preferred_element_type=f32)
+    dq = qnf * (dqn - rowdot / scale)
+
+    # projections: dh and weight grads
+    dq_cd = dq.astype(cd)
+    dk_cd = dk.astype(cd)
+    dv_cd = dv.astype(cd)
+    dh = (jnp.dot(dq_cd, wq.T, preferred_element_type=f32)
+          + jnp.dot(dk_cd, wk.T, preferred_element_type=f32)
+          + jnp.dot(dv_cd, wv.T, preferred_element_type=f32))
+    dwq = jnp.dot(h.T, dq_cd, preferred_element_type=f32)
+    dwk = jnp.dot(h.T, dk_cd, preferred_element_type=f32)
+    dwv = jnp.dot(h.T, dv_cd, preferred_element_type=f32)
+    dwqkv_c = jnp.concatenate([dwq, dwk, dwv], axis=1)
+
+    # GN1 backward + residual
+    dg1_c = jnp.sum(dh * xhat, axis=0, keepdims=True)
+    db1_c = jnp.sum(dh, axis=0, keepdims=True)
+    dhat1 = dh * g1s
+    dx_slabs = []
+    for gi in range(g):
+        dsl = dhat1[gi * n : (gi + 1) * n]
+        xsl = xhat[gi * n : (gi + 1) * n]
+        m1 = jnp.sum(dsl) / (n * c)
+        m2 = jnp.sum(dsl * xsl) / (n * c)
+        dx_slabs.append((dsl - m1 - xsl * m2) * inv1[gi])
+    dxg = jnp.concatenate(dx_slabs, axis=0) if g > 1 else dx_slabs[0]
+    dx_ref[...] = (dy + dxg).astype(dx_ref.dtype).reshape(g, n, c)
+
+    # ---------- cross-program accumulation (sequential TPU grid) -------------
+    from jax.experimental import pallas as pl
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dwqkv_ref[...] = jnp.zeros_like(dwqkv_ref)
+        dwout_ref[...] = jnp.zeros_like(dwout_ref)
+        dbout_ref[...] = jnp.zeros_like(dbout_ref)
+        dg1s_ref[...] = jnp.zeros_like(dg1s_ref)
+        dg1b_ref[...] = jnp.zeros_like(dg1b_ref)
+        dg2s_ref[...] = jnp.zeros_like(dg2s_ref)
+        dg2b_ref[...] = jnp.zeros_like(dg2b_ref)
+
+    dwqkv_ref[...] += dwqkv_c
+    dwout_ref[...] += dwout_c
+    dbout_ref[...] += dbout_c
+    dg1s_ref[...] += dg1_c
+    dg1b_ref[...] += db1_c
+    dg2s_ref[...] += dg2_c
+    dg2b_ref[...] += db2_c
+
+
 # Fastest measured items-per-program (perf/probe6.py, probe7*, probe14 for the
 # packed C=64 entries): keyed by TPU generation then (N, C) — the fused
 # buffers scale with N*C so the same G works across batch sizes, but the G
@@ -546,6 +755,387 @@ def linear_attention_block_pallas(
       row(gn2_scale), row(gn2_bias))
 
 
+def _fused_kernel_packed_bwd(
+    xp_ref, dyp_ref, wqkv2_ref, wout_ref, bout2_ref, g1s2_ref, g1b2_ref,
+    g2s2_ref, g2b2_ref,
+    dx_ref, dwqkv2_ref, dwout_ref, dbout2_ref, dg1s2_ref, dg1b2_ref,
+    dg2s2_ref, dg2b2_ref,
+    *, heads: int, dim_head: int, eps: float, compute_dtype,
+):
+    """Backward of the pixel-pair-packed C=64 kernel (`_fused_kernel_packed`).
+
+    Same derivation as ``_fused_kernel_bwd``, kept 128-lane-aligned end to
+    end like the packed forward:
+
+    * GN backward runs on the packed (N/2, 2C) slab with (1, 2C) tiled affine
+      rows; packed affine/bias grads are folded to (C,) by the WRAPPER
+      (dp[:C] + dp[C:]), outside the kernel where the add fuses for free;
+    * the output-projection backward goes through the per-item block-diagonal
+      (2H, 2C) matmul: dqp = dôp @ ctxw2ᵀ and dctxw2 = qpᵀ @ dôp — no
+      64-lane-offset activation slicing anywhere (only the per-item (2H, 2C)
+      WEIGHT-grad fold slices C columns, which is weight-sized, not
+      activation-sized);
+    * the shared-denominator k softmax backward subtracts the per-column sum
+      of kn⊙dkn over BOTH halves;
+    * dh and dWqkv2 use the packed (2C, 6H) weight in single matmuls; the
+      wrapper folds dWqkv2's two diagonal blocks into the true (C, 3H) grad.
+    """
+    cd = compute_dtype
+    f32 = jnp.float32
+    g, np_, c2 = xp_ref.shape
+    gnp = g * np_
+    hidden = heads * dim_head
+    c = c2 // 2
+    scale = dim_head ** -0.5
+    m_elems = np_ * c2  # == N * C per item
+    xp = xp_ref[...].reshape(gnp, c2)
+    dyp = dyp_ref[...].reshape(gnp, c2).astype(f32)
+    xf = xp.astype(f32)
+
+    row_h = jax.lax.broadcasted_iota(jnp.int32, (hidden, hidden), 0) // dim_head
+    col_h = jax.lax.broadcasted_iota(jnp.int32, (hidden, hidden), 1) // dim_head
+    seg = (row_h == col_h).astype(cd)
+    segf = seg.astype(f32)
+
+    # ---------- forward recompute (packed; mirrors _fused_kernel_packed) ----
+    g1s2 = g1s2_ref[...].astype(f32)
+    g1b2 = g1b2_ref[...].astype(f32)
+    xhat_slabs, inv1 = [], []
+    for gi in range(g):
+        sl = xf[gi * np_ : (gi + 1) * np_]
+        mu = jnp.sum(sl) / m_elems
+        var = jnp.sum(sl * sl) / m_elems - mu * mu
+        iv = jax.lax.rsqrt(var + eps)
+        inv1.append(iv)
+        xhat_slabs.append((sl - mu) * iv)
+    xhat = jnp.concatenate(xhat_slabs, axis=0) if g > 1 else xhat_slabs[0]
+    h = (xhat * g1s2 + g1b2).astype(cd)
+
+    w2 = wqkv2_ref[...].astype(cd)
+    q0 = jnp.dot(h, w2[:, :hidden], preferred_element_type=f32).astype(cd)
+    k0 = jnp.dot(h, w2[:, hidden : 2 * hidden],
+                 preferred_element_type=f32).astype(cd)
+    v0 = jnp.dot(h, w2[:, 2 * hidden : 3 * hidden],
+                 preferred_element_type=f32).astype(cd)
+    q1 = jnp.dot(h, w2[:, 3 * hidden : 4 * hidden],
+                 preferred_element_type=f32).astype(cd)
+    k1 = jnp.dot(h, w2[:, 4 * hidden : 5 * hidden],
+                 preferred_element_type=f32).astype(cd)
+    v1 = jnp.dot(h, w2[:, 5 * hidden :],
+                 preferred_element_type=f32).astype(cd)
+
+    def q_softmax(qh):
+        shift = qh.astype(f32).max(axis=-1, keepdims=True).astype(cd)
+        q_e = jnp.exp(qh - shift)
+        q_sum = jnp.dot(q_e, seg, preferred_element_type=f32)
+        return (q_e.astype(f32) / q_sum * scale).astype(cd)
+
+    q0n, q1n = q_softmax(q0), q_softmax(q1)
+
+    k0n_slabs, k1n_slabs = [], []
+    for gi in range(g):
+        s0c = k0[gi * np_ : (gi + 1) * np_]
+        s1c = k1[gi * np_ : (gi + 1) * np_]
+        ksh = jnp.maximum(
+            s0c.astype(f32).max(axis=0, keepdims=True),
+            s1c.astype(f32).max(axis=0, keepdims=True),
+        ).astype(cd)
+        s0 = jnp.exp(s0c - ksh).astype(f32)
+        s1 = jnp.exp(s1c - ksh).astype(f32)
+        denom = jnp.sum(s0, axis=0, keepdims=True) + jnp.sum(
+            s1, axis=0, keepdims=True
+        )
+        k0n_slabs.append((s0 / denom).astype(cd))
+        k1n_slabs.append((s1 / denom).astype(cd))
+    k0n = jnp.concatenate(k0n_slabs, axis=0) if g > 1 else k0n_slabs[0]
+    k1n = jnp.concatenate(k1n_slabs, axis=0) if g > 1 else k1n_slabs[0]
+
+    ctx = jax.lax.dot_general(
+        k0n.reshape(g, np_, hidden), v0.reshape(g, np_, hidden),
+        (((1,), (1,)), ((0,), (0,))), preferred_element_type=f32,
+    ) + jax.lax.dot_general(
+        k1n.reshape(g, np_, hidden), v1.reshape(g, np_, hidden),
+        (((1,), (1,)), ((0,), (0,))), preferred_element_type=f32,
+    )
+    ctx = (ctx.reshape(g * hidden, hidden)
+           * jnp.tile(segf, (g, 1))).astype(cd)
+    wout = wout_ref[...].astype(cd)
+    cw = jnp.dot(ctx, wout, preferred_element_type=f32).astype(cd)
+
+    sel_i = jax.lax.broadcasted_iota(jnp.int32, (c, c2), 0)
+    sel_j = jax.lax.broadcasted_iota(jnp.int32, (c, c2), 1)
+    sel0 = (sel_i == sel_j).astype(cd)
+    sel1 = (sel_i == sel_j - c).astype(cd)
+    cw0 = jnp.dot(cw, sel0, preferred_element_type=f32).astype(cd)
+    cw1 = jnp.dot(cw, sel1, preferred_element_type=f32).astype(cd)
+
+    qp = jnp.concatenate([q0n, q1n], axis=1)  # (gnp, 2H)
+    o_slabs, ctxw2_slabs = [], []
+    for gi in range(g):
+        ctxw2 = jnp.concatenate(
+            [cw0[gi * hidden : (gi + 1) * hidden],
+             cw1[gi * hidden : (gi + 1) * hidden]], axis=0
+        )  # (2H, 2C)
+        ctxw2_slabs.append(ctxw2)
+        o_slabs.append(
+            jnp.dot(qp[gi * np_ : (gi + 1) * np_], ctxw2,
+                    preferred_element_type=f32)
+        )
+    o = (jnp.concatenate(o_slabs, axis=0) if g > 1 else o_slabs[0]) \
+        + bout2_ref[...].astype(f32)
+
+    ohat_slabs, inv2 = [], []
+    for gi in range(g):
+        sl = o[gi * np_ : (gi + 1) * np_]
+        mu = jnp.sum(sl) / m_elems
+        var = jnp.sum(sl * sl) / m_elems - mu * mu
+        iv = jax.lax.rsqrt(var + eps)
+        inv2.append(iv)
+        ohat_slabs.append((sl - mu) * iv)
+    ohat = jnp.concatenate(ohat_slabs, axis=0) if g > 1 else ohat_slabs[0]
+
+    # ---------- backward chain (packed) --------------------------------------
+    g2s2 = g2s2_ref[...].astype(f32)
+    dg2_c = jnp.sum(dyp * ohat, axis=0, keepdims=True)   # (1, 2C) packed
+    db2_c = jnp.sum(dyp, axis=0, keepdims=True)
+    dhat2 = dyp * g2s2
+    do_slabs = []
+    for gi in range(g):
+        dsl = dhat2[gi * np_ : (gi + 1) * np_]
+        osl = ohat[gi * np_ : (gi + 1) * np_]
+        m1 = jnp.sum(dsl) / m_elems
+        m2 = jnp.sum(dsl * osl) / m_elems
+        do_slabs.append((dsl - m1 - osl * m2) * inv2[gi])
+    do = jnp.concatenate(do_slabs, axis=0) if g > 1 else do_slabs[0]
+    dbout_c = jnp.sum(do, axis=0, keepdims=True)         # (1, 2C) packed
+    do_cd = do.astype(cd)
+
+    # through the per-item block-diag output matmul: dqp, dctxw2
+    dqp_slabs, dcw_slabs = [], []
+    for gi in range(g):
+        ctxw2 = ctxw2_slabs[gi]
+        dosl = do_cd[gi * np_ : (gi + 1) * np_]
+        dqp_slabs.append(
+            jnp.dot(dosl, ctxw2.T, preferred_element_type=f32)
+        )  # (np, 2H)
+        dctxw2 = jnp.dot(qp[gi * np_ : (gi + 1) * np_].T, dosl,
+                         preferred_element_type=f32)  # (2H, 2C)
+        # fold the two diagonal blocks into this item's dcw (H, C)
+        dcw_slabs.append(dctxw2[:hidden, :c] + dctxw2[hidden:, c:])
+    dqp = jnp.concatenate(dqp_slabs, axis=0) if g > 1 else dqp_slabs[0]
+    dcw = jnp.concatenate(dcw_slabs, axis=0) if g > 1 else dcw_slabs[0]
+    dq0n = dqp[:, :hidden]
+    dq1n = dqp[:, hidden:]
+    dcw_cd = dcw.astype(cd)  # (g*H, C)
+    dwout_c = jnp.dot(ctx.T, dcw_cd, preferred_element_type=f32)
+    dctx = (jnp.dot(dcw_cd, wout.T, preferred_element_type=f32)
+            * jnp.tile(segf, (g, 1))).astype(cd)
+
+    dkn0 = jax.lax.dot_general(
+        v0.reshape(g, np_, hidden), dctx.reshape(g, hidden, hidden),
+        (((2,), (2,)), ((0,), (0,))), preferred_element_type=f32,
+    ).reshape(gnp, hidden)
+    dkn1 = jax.lax.dot_general(
+        v1.reshape(g, np_, hidden), dctx.reshape(g, hidden, hidden),
+        (((2,), (2,)), ((0,), (0,))), preferred_element_type=f32,
+    ).reshape(gnp, hidden)
+    dv0 = jax.lax.dot_general(
+        k0n.reshape(g, np_, hidden), dctx.reshape(g, hidden, hidden),
+        (((2,), (1,)), ((0,), (0,))), preferred_element_type=f32,
+    ).reshape(gnp, hidden)
+    dv1 = jax.lax.dot_general(
+        k1n.reshape(g, np_, hidden), dctx.reshape(g, hidden, hidden),
+        (((2,), (1,)), ((0,), (0,))), preferred_element_type=f32,
+    ).reshape(gnp, hidden)
+
+    # shared-denominator k softmax backward: per item, per column, both halves
+    k0f = k0n.astype(f32)
+    k1f = k1n.astype(f32)
+    dk0_slabs, dk1_slabs = [], []
+    for gi in range(g):
+        s = slice(gi * np_, (gi + 1) * np_)
+        inner = (jnp.sum(k0f[s] * dkn0[s], axis=0, keepdims=True)
+                 + jnp.sum(k1f[s] * dkn1[s], axis=0, keepdims=True))
+        dk0_slabs.append(k0f[s] * (dkn0[s] - inner))
+        dk1_slabs.append(k1f[s] * (dkn1[s] - inner))
+    dk0 = jnp.concatenate(dk0_slabs, axis=0) if g > 1 else dk0_slabs[0]
+    dk1 = jnp.concatenate(dk1_slabs, axis=0) if g > 1 else dk1_slabs[0]
+
+    def q_softmax_bwd(qhn, dqhn):
+        qf = qhn.astype(f32)
+        rowdot = jnp.dot((qf * dqhn).astype(cd), seg,
+                         preferred_element_type=f32)
+        return qf * (dqhn - rowdot / scale)
+
+    dq0 = q_softmax_bwd(q0n, dq0n)
+    dq1 = q_softmax_bwd(q1n, dq1n)
+
+    # packed projections backward: one (gnp, 6H) @ (6H, 2C) matmul for dh and
+    # one (2C, gnp) @ (gnp, 6H) for the packed weight grad
+    dqkv = jnp.concatenate(
+        [dq0.astype(cd), dk0.astype(cd), dv0.astype(cd),
+         dq1.astype(cd), dk1.astype(cd), dv1.astype(cd)], axis=1
+    )  # (gnp, 6H), 128-aligned blocks
+    dh = jnp.dot(dqkv, w2.T, preferred_element_type=f32)
+    dwqkv2_c = jnp.dot(h.T, dqkv, preferred_element_type=f32)  # (2C, 6H)
+
+    # GN1 backward + residual (packed slab, tiled affine)
+    dg1_c = jnp.sum(dh * xhat, axis=0, keepdims=True)    # (1, 2C) packed
+    db1_c = jnp.sum(dh, axis=0, keepdims=True)
+    dhat1 = dh * g1s2
+    dx_slabs = []
+    for gi in range(g):
+        dsl = dhat1[gi * np_ : (gi + 1) * np_]
+        xsl = xhat[gi * np_ : (gi + 1) * np_]
+        m1 = jnp.sum(dsl) / m_elems
+        m2 = jnp.sum(dsl * xsl) / m_elems
+        dx_slabs.append((dsl - m1 - xsl * m2) * inv1[gi])
+    dxg = jnp.concatenate(dx_slabs, axis=0) if g > 1 else dx_slabs[0]
+    dx_ref[...] = (dyp + dxg).astype(dx_ref.dtype).reshape(g, np_, c2)
+
+    from jax.experimental import pallas as pl
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dwqkv2_ref[...] = jnp.zeros_like(dwqkv2_ref)
+        dwout_ref[...] = jnp.zeros_like(dwout_ref)
+        dbout2_ref[...] = jnp.zeros_like(dbout2_ref)
+        dg1s2_ref[...] = jnp.zeros_like(dg1s2_ref)
+        dg1b2_ref[...] = jnp.zeros_like(dg1b2_ref)
+        dg2s2_ref[...] = jnp.zeros_like(dg2s2_ref)
+        dg2b2_ref[...] = jnp.zeros_like(dg2b2_ref)
+
+    dwqkv2_ref[...] += dwqkv2_c
+    dwout_ref[...] += dwout_c
+    dbout2_ref[...] += dbout_c
+    dg1s2_ref[...] += dg1_c
+    dg1b2_ref[...] += db1_c
+    dg2s2_ref[...] += dg2_c
+    dg2b2_ref[...] += db2_c
+
+
+def linear_attention_block_pallas_bwd(
+    x, dy, wqkv, wout, bout, gn1_scale, gn1_bias, gn2_scale, gn2_bias,
+    *, heads: int, dim_head: int, eps: float = 1e-5,
+    compute_dtype: Any = jnp.float32, interpret: bool = False,
+    block_items: int | None = None,
+):
+    """Backward pass on TPU: one fused kernel computing all 8 input gradients
+    (see ``_fused_kernel_bwd``).  Weight/affine grads are f32 accumulators
+    summed across the sequential grid."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n, c = x.shape
+    hidden = heads * dim_head
+    # bwd holds ~2.5x the forward's VMEM (recompute + grads): halve the
+    # forward's measured G unless overridden
+    g = block_items or max(1, _pick_block_items(b, n, c) // 2)
+    while b % g:
+        g -= 1
+    row = lambda p: p.reshape(1, -1)  # noqa: E731
+    full = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    acc = lambda shape: pl.BlockSpec(  # noqa: E731 — grid-accumulated output
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    f32 = jnp.float32
+    if c * 2 == hidden and n % 2 == 0:
+        # C=64 sites: pixel-pair-packed backward — same layout reasoning as
+        # the packed forward (full 128-lane rows, half the DMA bytes)
+        np_ = n // 2
+        c2 = 2 * c
+        xp = x.reshape(b, np_, c2)
+        dyp = dy.astype(x.dtype).reshape(b, np_, c2)
+        zeros = jnp.zeros_like(wqkv)
+        wqkv2 = jnp.concatenate(
+            [jnp.concatenate([wqkv, zeros], axis=1),
+             jnp.concatenate([zeros, wqkv], axis=1)], axis=0
+        )
+        tile2 = lambda p: jnp.concatenate([p, p]).reshape(1, -1)  # noqa: E731
+        kernel = functools.partial(
+            _fused_kernel_packed_bwd, heads=heads, dim_head=dim_head, eps=eps,
+            compute_dtype=compute_dtype,
+        )
+        outs = pl.pallas_call(
+            kernel,
+            grid=(b // g,),
+            in_specs=[
+                pl.BlockSpec((g, np_, c2), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((g, np_, c2), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                full(wqkv2.shape), full(wout.shape), full((1, c2)),
+                full((1, c2)), full((1, c2)), full((1, c2)), full((1, c2)),
+            ],
+            out_specs=[
+                pl.BlockSpec((g, np_, c2), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                acc((c2, 6 * hidden)), acc((hidden, c)), acc((1, c2)),
+                acc((1, c2)), acc((1, c2)), acc((1, c2)), acc((1, c2)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, np_, c2), x.dtype),
+                jax.ShapeDtypeStruct((c2, 6 * hidden), f32),
+                jax.ShapeDtypeStruct((hidden, c), f32),
+                jax.ShapeDtypeStruct((1, c2), f32),
+                jax.ShapeDtypeStruct((1, c2), f32),
+                jax.ShapeDtypeStruct((1, c2), f32),
+                jax.ShapeDtypeStruct((1, c2), f32),
+                jax.ShapeDtypeStruct((1, c2), f32),
+            ],
+            interpret=interpret,
+        )(xp, dyp, wqkv2, wout, tile2(bout), tile2(gn1_scale),
+          tile2(gn1_bias), tile2(gn2_scale), tile2(gn2_bias))
+        dx, dwqkv2, dwout, dbout2, dg1s2, dg1b2, dg2s2, dg2b2 = outs
+        # fold packed grads back: diag blocks of dWqkv2; halves of (1, 2C) rows
+        dwqkv_f = (dwqkv2[:c, : 3 * hidden]
+                   + dwqkv2[c:, 3 * hidden :]).astype(wqkv.dtype)
+        fold = lambda p, ref: (  # noqa: E731
+            (p[0, :c] + p[0, c:]).reshape(ref.shape).astype(ref.dtype)
+        )
+        return (dx.reshape(b, n, c), dwqkv_f, dwout.astype(wout.dtype),
+                fold(dbout2, bout), fold(dg1s2, gn1_scale),
+                fold(dg1b2, gn1_bias), fold(dg2s2, gn2_scale),
+                fold(dg2b2, gn2_bias))
+    kernel = functools.partial(
+        _fused_kernel_bwd, heads=heads, dim_head=dim_head, eps=eps,
+        compute_dtype=compute_dtype,
+    )
+    dx, dwqkv, dwout, dbout, dg1s, dg1b, dg2s, dg2b = pl.pallas_call(
+        kernel,
+        grid=(b // g,),
+        in_specs=[
+            pl.BlockSpec((g, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            full(wqkv.shape), full(wout.shape), full((1, c)),
+            full((1, c)), full((1, c)), full((1, c)), full((1, c)),
+        ],
+        out_specs=[
+            pl.BlockSpec((g, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            acc((c, 3 * hidden)), acc((hidden, c)), acc((1, c)),
+            acc((1, c)), acc((1, c)), acc((1, c)), acc((1, c)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n, c), x.dtype),
+            jax.ShapeDtypeStruct((c, 3 * hidden), f32),
+            jax.ShapeDtypeStruct((hidden, c), f32),
+            jax.ShapeDtypeStruct((1, c), f32),
+            jax.ShapeDtypeStruct((1, c), f32),
+            jax.ShapeDtypeStruct((1, c), f32),
+            jax.ShapeDtypeStruct((1, c), f32),
+            jax.ShapeDtypeStruct((1, c), f32),
+        ],
+        interpret=interpret,
+    )(x, dy.astype(x.dtype), wqkv, wout, row(bout), row(gn1_scale),
+      row(gn1_bias), row(gn2_scale), row(gn2_bias))
+    shp = lambda ref, a: a.reshape(ref.shape).astype(ref.dtype)  # noqa: E731
+    return (dx, shp(wqkv, dwqkv), shp(wout, dwout), shp(bout, dbout),
+            shp(gn1_scale, dg1s), shp(gn1_bias, dg1b), shp(gn2_scale, dg2s),
+            shp(gn2_bias, dg2b))
+
+
 # ------------------------------------------------------- public op (custom VJP)
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
 def linear_attention_block(
@@ -581,3 +1171,43 @@ def _bwd(heads, dim_head, eps, compute_dtype, residuals, g):
 
 
 linear_attention_block.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+def linear_attention_block_fused_grads(
+    x, wqkv, wout, bout, gn1_scale, gn1_bias, gn2_scale, gn2_bias,
+    heads: int = 4, dim_head: int = 32, eps: float = 1e-5,
+    compute_dtype: Any = jnp.float32,
+):
+    """Fused block with BOTH passes in Pallas (round 3, VERDICT item 3).
+
+    Same forward as :func:`linear_attention_block`; the backward runs the
+    hand-written ``_fused_kernel_bwd`` instead of recomputing through the XLA
+    implementation — gradient programs then keep the fused attention
+    formulation end to end (no XLA attention layout copies / GroupNorm-stats
+    fusions on the backward path).  Gradients equal the XLA vjp up to bf16
+    reduction reordering (tested at 1e-5 in f32 interpret mode).
+    """
+    return linear_attention_block_pallas(
+        x, wqkv, wout, bout, gn1_scale, gn1_bias, gn2_scale, gn2_bias,
+        heads=heads, dim_head=dim_head, eps=eps, compute_dtype=compute_dtype,
+    )
+
+
+def _fwd_fused(x, wqkv, wout, bout, g1s, g1b, g2s, g2b, heads, dim_head, eps,
+               compute_dtype):
+    y = linear_attention_block_fused_grads(
+        x, wqkv, wout, bout, g1s, g1b, g2s, g2b, heads, dim_head, eps,
+        compute_dtype,
+    )
+    return y, (x, wqkv, wout, bout, g1s, g1b, g2s, g2b)
+
+
+def _bwd_fused(heads, dim_head, eps, compute_dtype, residuals, dy):
+    return linear_attention_block_pallas_bwd(
+        residuals[0], dy, *residuals[1:],
+        heads=heads, dim_head=dim_head, eps=eps, compute_dtype=compute_dtype,
+    )
+
+
+linear_attention_block_fused_grads.defvjp(_fwd_fused, _bwd_fused)

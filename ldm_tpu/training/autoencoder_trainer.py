@@ -179,6 +179,11 @@ class AutoencoderTrainer:
         return np.asarray(out01 * 255.0, np.uint8)
 
     def train(self) -> dict:
+        # wandb.define_metric parity (reference main.py:185-186 pattern)
+        self.logger.define_summaries({
+            "autoencoder train_loss": "min",
+            "autoencoder val_loss": "min",
+        })
         history = {"train_loss": [], "val_loss": []}
         for epoch in range(self.config.epochs):
             tr = self._epoch(train=True)

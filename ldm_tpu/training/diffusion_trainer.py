@@ -61,16 +61,17 @@ class DiffusionTrainer:
         assert config.loss_fn == "mse", "diffusion training uses MSE (src/Trainer.py:62)"
         self.config = config
         self.model = model
-        # Gradient computation forces the XLA attention path UNCONDITIONALLY
+        # Gradient programs get their own attention impl UNCONDITIONALLY
         # (incl. explicit attention_impl="pallas" configs, ADVICE round 2):
-        # the Pallas forward's custom VJP recomputes through XLA anyway (so
-        # pallas under grad is strictly extra work), and the
-        # vjp-of-pallas-in-epoch-scan compile was measured pathological
-        # (>20 min) on the tunnel toolchain.  Forward-only programs (eval,
-        # sampling) keep the fused kernel.
+        # "auto_grads" picks the round-3 fused Pallas forward + hand-written
+        # Pallas backward at the measured shapes (+8% full train step vs
+        # all-XLA, perf/probe18.json — and unlike the round-2 XLA-recompute
+        # VJP, it compiles cleanly inside the epoch scan) and XLA elsewhere
+        # (CPU, untabled shapes).  Forward-only programs (eval, sampling)
+        # keep the plain fused kernel via the model's own impl.
         self._train_model = (
-            model.clone(attention_impl="xla")
-            if getattr(model, "attention_impl", "xla") != "xla"
+            model.clone(attention_impl="auto_grads")
+            if getattr(model, "attention_impl", "auto_grads") != "auto_grads"
             else model
         )
         self.diffusion = diffusion
@@ -342,6 +343,12 @@ class DiffusionTrainer:
     def train(self) -> dict:
         """Epoch loop with metric logging, periodic sampling grid, early stopping
         (reference ``train``, src/DiffusionModelTrainer.py:120-149)."""
+        # wandb.define_metric parity (reference main.py:185-186) — min summaries
+        # tracked locally in summary.json too (utils/logging.py)
+        self.logger.define_summaries({
+            "diffusion_model train_loss": "min",
+            "diffusion_model val_loss": "min",
+        })
         history = {"train_loss": [], "val_loss": []}
         for epoch in range(self.config.epochs):
             train_loss = self._train_epoch(epoch)
@@ -360,6 +367,10 @@ class DiffusionTrainer:
                 step=epoch,
             )
             self.logger.log_norms("params", self.state.params, step=epoch)
+            we = getattr(self.config, "watch_histograms_every", 0)
+            if we > 0 and (epoch + 1) % we == 0:
+                # the reference's wandb.watch(log="all") equivalent (main.py:184)
+                self.logger.log_histograms("params", self.state.params, step=epoch)
             se = getattr(self.config, "sample_every", 2)
             # 0 = never; skip epoch 0 — the grid would show untrained noise
             if se > 0 and epoch > 0 and epoch % se == 0:

@@ -302,6 +302,13 @@ class ResNetTrainer:
     # ---------------------------------------------------------------- train
     def train(self) -> dict:
         """Epoch loop with early stopping (reference src/ResNetTrainer.py:14-84)."""
+        # wandb.define_metric parity (reference main.py:232-235 per experiment)
+        self.logger.define_summaries({
+            f"{self.name} train_loss": "min",
+            f"{self.name} valid_loss": "min",
+            f"{self.name} train_f1": "max",
+            f"{self.name} valid_f1": "max",
+        })
         history = {"train": [], "valid": []}
         for epoch in range(self.config.epochs):
             tr = self.run("train")

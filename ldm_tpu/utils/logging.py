@@ -59,6 +59,11 @@ class MetricsLogger:
             self._path = os.path.join(dirpath, "metrics.jsonl")
         use_wandb = use_wandb and primary
         self._wandb = None
+        self._summary_rules: Dict[str, str] = {}
+        self._summaries: Dict[str, float] = {}
+        self._summary_path = (
+            os.path.join(dirpath, "summary.json") if dirpath and primary else None
+        )
         if use_wandb:
             try:
                 import wandb  # noqa
@@ -68,6 +73,40 @@ class MetricsLogger:
                     wandb.init(project=project or "ldm_tpu", mode=os.environ.get("WANDB_MODE", "offline"))
             except ImportError:
                 pass
+
+    # ------------------------------------------------------------- summaries
+    def define_summaries(self, rules: Dict[str, str]) -> None:
+        """``wandb.define_metric(key, summary="min"/"max")`` parity (reference
+        main.py:185-186, 232-235).  Forwarded to wandb when live, AND mirrored
+        locally: the logger tracks the running min/max of each declared key and
+        persists them to ``summary.json`` next to ``metrics.jsonl`` — so the
+        run summary exists in the wandb-less environment too."""
+        for key, mode in rules.items():
+            if mode not in ("min", "max"):
+                raise ValueError(f"summary mode must be min|max, got {mode!r}")
+            self._summary_rules[key] = mode
+        if self._wandb is not None and hasattr(self._wandb, "define_metric"):
+            for key, mode in rules.items():
+                self._wandb.define_metric(key, summary=mode)
+
+    def _update_summaries(self, metrics: Dict[str, Any]) -> None:
+        changed = False
+        for key, mode in self._summary_rules.items():
+            if key not in metrics:
+                continue
+            v = metrics[key]
+            v = float(v) if hasattr(v, "item") or isinstance(v, (int, float)) else None
+            if v is None:
+                continue
+            name = f"{key}.{mode}"
+            cur = self._summaries.get(name)
+            new = v if cur is None else (min(cur, v) if mode == "min" else max(cur, v))
+            if new != cur:
+                self._summaries[name] = new
+                changed = True
+        if changed and self._summary_path:
+            with open(self._summary_path, "w") as f:
+                json.dump(self._summaries, f, indent=2, sort_keys=True)
 
     def log(self, metrics: Dict[str, Any], step: int) -> None:
         rec = {"step": step, "ts": time.time()}
@@ -82,6 +121,8 @@ class MetricsLogger:
         if self._path:
             with open(self._path, "a") as f:
                 f.write(json.dumps(rec) + "\n")
+        if self._summary_rules and self._primary:
+            self._update_summaries(metrics)
         if self._wandb is not None:
             self._wandb.log(
                 {k: (float(v) if hasattr(v, "item") else v)
@@ -109,6 +150,39 @@ class MetricsLogger:
         one cheap jitted on-device reduction instead of per-tensor histograms."""
         norm = _global_norm(tree)
         self.log({f"{tag}_global_norm": float(norm)}, step=step)
+
+    def log_histograms(self, tag: str, tree, step: int) -> None:
+        """Optional per-tensor watch (``wandb.watch(log="all")``, reference
+        main.py:184, 232): one device→host transfer of the whole pytree, then
+        per-leaf min/max/mean/std into the JSONL (and ``wandb.Histogram`` when
+        live).  Heavier than ``log_norms`` — gate it with a cadence knob
+        (``config.watch_histograms_every``)."""
+        if not self._primary:
+            return
+        import jax
+        import numpy as np
+
+        leaves_p = jax.tree_util.tree_flatten_with_path(tree)[0]
+        host = jax.device_get([leaf for _, leaf in leaves_p])
+        rec = {}
+        wandb_rec = {}
+        for (path, _), a in zip(leaves_p, host):
+            name = "/".join(
+                str(getattr(k, "key", getattr(k, "idx", k))) for k in path
+            )
+            a = np.asarray(a, np.float32)
+            rec[f"{tag}/{name}"] = [
+                float(a.min()), float(a.max()), float(a.mean()), float(a.std())
+            ]
+            if self._wandb is not None and hasattr(self._wandb, "Histogram"):
+                wandb_rec[f"{tag}/{name}"] = self._wandb.Histogram(a)
+        if self._path:
+            with open(self._path, "a") as f:
+                f.write(json.dumps(
+                    {"step": step, "ts": time.time(),
+                     f"{tag}_histograms(min,max,mean,std)": rec}) + "\n")
+        if wandb_rec:
+            self._wandb.log(wandb_rec, step=step)
 
     def close(self) -> None:
         """Kept for API compatibility — writes are open-per-call, nothing to close."""

@@ -247,3 +247,99 @@ def test_unet_forward_with_forced_pallas_interpret():
     # stays 1e-5 (test_pallas_interpret_matches_xla above), which is the
     # tight correctness check — this test guards the end-to-end wiring
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-2)
+
+
+@pytest.mark.parametrize("b,n,c,g", [
+    (4, 32, 16, 2),    # unpacked
+    (2, 64, 32, 1),    # unpacked, single-item blocks
+    (4, 32, 64, 2),    # packed (2C == hidden)
+    (4, 32, 64, 4),    # packed, one grid program
+])
+def test_pallas_bwd_matches_xla_vjp(b, n, c, g):
+    """The hand-written backward kernels (round 3) must reproduce the XLA
+    vjp's gradients for ALL 8 inputs — unpacked and pixel-pair-packed paths,
+    including the cross-program weight-grad accumulation (g < b)."""
+    from ldm_tpu.ops.linear_attention import linear_attention_block_pallas_bwd
+
+    args = make_inputs(b=b, n=n, c=c, seed=3)
+    fn = lambda *a: linear_attention_block_xla(  # noqa: E731
+        *a, heads=HEADS, dim_head=DIM_HEAD)
+    y, vjp = jax.vjp(fn, *args)
+    dy = jax.random.normal(jax.random.key(9), y.shape)
+    want = vjp(dy)
+    got = linear_attention_block_pallas_bwd(
+        args[0], dy, *args[1:], heads=HEADS, dim_head=DIM_HEAD,
+        interpret=True, block_items=g,
+    )
+    for name, a, w in zip(
+        ("dx", "dwqkv", "dwout", "dbout", "dg1s", "dg1b", "dg2s", "dg2b"),
+        got, want,
+    ):
+        scale = float(np.max(np.abs(np.asarray(w)))) + 1e-12
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(w), atol=2e-5 * scale, err_msg=name
+        )
+
+
+def test_fused_grads_op_end_to_end():
+    """jax.grad through linear_attention_block_fused_grads (pallas fwd +
+    pallas bwd, interpret mode) == jax.grad of the XLA impl."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ldm_tpu.ops.linear_attention import linear_attention_block_fused_grads
+
+    args = make_inputs(b=2, n=32, c=16, seed=6)
+
+    def loss_op(*a):
+        return jnp.sum(linear_attention_block_fused_grads(
+            *a, HEADS, DIM_HEAD, 1e-5, jnp.float32) ** 2)
+
+    def loss_xla(*a):
+        return jnp.sum(linear_attention_block_xla(
+            *a, heads=HEADS, dim_head=DIM_HEAD) ** 2)
+
+    # the context must span the whole grad call: the custom-vjp backward (a
+    # second pallas_call) is traced after the forward returns
+    with pltpu.force_tpu_interpret_mode():
+        g_op = jax.grad(loss_op, argnums=tuple(range(8)))(*args)
+    g_xla = jax.grad(loss_xla, argnums=tuple(range(8)))(*args)
+    for a, b in zip(g_op, g_xla):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-3
+        )
+
+
+@pytest.mark.slow
+def test_unet_pallas_grads_impl_trains():
+    """A UNet with attention_impl='pallas_grads' produces gradients matching
+    the XLA-impl UNet (interpret mode), wiring the fused-VJP op end to end."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from ldm_tpu.models.unet import UNet
+
+    kw = dict(in_channels=1, out_channels=1, channels=8,
+              channel_multipliers=(1, 2), num_classes=10)
+    x = jax.random.normal(jax.random.key(0), (2, 16, 16, 1))
+    t = jnp.array([0, 5])
+    y = jnp.array([3, 7])
+    model_p = UNet(attention_impl="pallas_grads", **kw)
+    model_x = UNet(attention_impl="xla", **kw)
+    with pltpu.force_tpu_interpret_mode():
+        params = model_p.init(jax.random.key(1), x, t, y)
+
+        def loss_p(p):
+            return jnp.mean(model_p.apply(p, x, t, y) ** 2)
+
+        g_p = jax.grad(loss_p)(params)
+
+    def loss_x(p):
+        return jnp.mean(model_x.apply(p, x, t, y) ** 2)
+
+    g_x = jax.grad(loss_x)(params)
+    flat_p = jax.tree_util.tree_leaves_with_path(g_p)
+    flat_x = jax.tree.leaves(g_x)
+    for (path, a), b in zip(flat_p, flat_x):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4,
+            err_msg=str(path),
+        )

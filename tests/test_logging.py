@@ -119,3 +119,62 @@ def test_trainer_logs_grad_and_param_norms(tmp_path):
     assert epoch_recs and epoch_recs[0]["grad_global_norm"] > 0
     assert any("params_global_norm" in r and r["params_global_norm"] > 0
                for r in recs)
+
+
+def test_define_summaries_local_and_wandb(tmp_path, monkeypatch):
+    """define_metric parity (reference main.py:185-186, 232-235): min/max
+    summaries forwarded to wandb AND tracked locally in summary.json."""
+    stub = _with_stub(monkeypatch)
+    stub.define_calls = []
+    stub.define_metric = lambda k, summary: stub.define_calls.append((k, summary))
+    lg = MetricsLogger(str(tmp_path), "p", use_wandb=True, quiet=True)
+    lg.define_summaries({"m train_loss": "min", "m valid_f1": "max"})
+    assert ("m train_loss", "min") in stub.define_calls
+    assert ("m valid_f1", "max") in stub.define_calls
+
+    lg.log({"m train_loss": 2.0, "m valid_f1": 0.5}, step=0)
+    lg.log({"m train_loss": 1.0, "m valid_f1": 0.9}, step=1)
+    lg.log({"m train_loss": 3.0, "m valid_f1": 0.2}, step=2)
+    summ = json.loads((tmp_path / "summary.json").read_text())
+    assert summ["m train_loss.min"] == 1.0
+    assert summ["m valid_f1.max"] == 0.9
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        lg.define_summaries({"x": "median"})
+
+
+def test_define_summaries_without_wandb(tmp_path):
+    """summary.json works in the wandb-less environment too."""
+    lg = MetricsLogger(str(tmp_path), "p", quiet=True)
+    lg.define_summaries({"loss": "min"})
+    lg.log({"loss": 5.0}, step=0)
+    lg.log({"loss": 3.0, "unrelated": 1.0}, step=1)
+    summ = json.loads((tmp_path / "summary.json").read_text())
+    assert summ == {"loss.min": 3.0}
+
+
+def test_log_histograms_jsonl_and_wandb(tmp_path, monkeypatch):
+    """wandb.watch(log='all') stand-in: per-leaf stats into the JSONL and
+    wandb.Histogram objects when live."""
+    stub = _with_stub(monkeypatch)
+
+    class _Hist:
+        def __init__(self, data):
+            self.n = np.asarray(data).size
+
+    stub.Histogram = _Hist
+    lg = MetricsLogger(str(tmp_path), "p", use_wandb=True, quiet=True)
+    tree = {"dense": {"kernel": np.arange(6, dtype=np.float32).reshape(2, 3),
+                      "bias": np.zeros((3,), np.float32)}}
+    lg.log_histograms("params", tree, step=4)
+
+    recs = [json.loads(ln)
+            for ln in (tmp_path / "metrics.jsonl").read_text().splitlines()]
+    hrec = recs[-1]["params_histograms(min,max,mean,std)"]
+    assert hrec["params/dense/kernel"] == [0.0, 5.0, 2.5,
+                                           hrec["params/dense/kernel"][3]]
+    assert "params/dense/bias" in hrec
+    metrics, step = stub.logged[-1]
+    assert step == 4 and isinstance(metrics["params/dense/kernel"], _Hist)
