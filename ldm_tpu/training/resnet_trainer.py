@@ -205,7 +205,21 @@ class ResNetTrainer:
 
     def load_best(self) -> None:
         """Reload best weights for testing (reference reloads the best checkpoint
-        before run('test'), main.py:262-289)."""
+        before run('test'), main.py:262-289).
+
+        Fast path: the ON-DEVICE best copy kept by ``_save_best`` — no disk
+        round trip at all.  Disk fallback (test() without train()) places the
+        loaded tree on device immediately: ``load_params`` returns host numpy
+        arrays, and jitted eval steps re-upload HOST params on EVERY call —
+        over the tunnel that turned each protocol test pass into ~7 minutes
+        of transfers (196 batches x 45 MB, round-3 finding; the same gotcha
+        the verify skill documents for generate_images)."""
+        if hasattr(self, "_best_state"):
+            best = self._best_state
+            self.state = self.state.replace(
+                params=best.params, batch_stats=best.batch_stats
+            )
+            return
         template = {
             "params": self.state.params["params"],
             "batch_stats": self.state.batch_stats,
@@ -213,6 +227,11 @@ class ResNetTrainer:
         loaded = ckpt.load_params(
             f"{self.config.checkpoints}/{self.name}.msgpack", template
         )
+        if self.mesh is not None:
+            from ldm_tpu.parallel.mesh import replicated
+            loaded = jax.device_put(loaded, replicated(self.mesh))
+        else:
+            loaded = jax.device_put(loaded)
         self.state = self.state.replace(
             params={"params": loaded["params"]}, batch_stats=loaded["batch_stats"]
         )

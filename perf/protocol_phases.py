@@ -1,54 +1,72 @@
-"""Reconstruct per-phase wall-clock for a reference-protocol run (VERDICT item 8).
+"""Reconstruct the protocol's phase/wall-clock table from a run's
+metrics.jsonl — the measurement the round-2 VERDICT had to do by hand
+(weak #1: ~38 of 92 minutes were inter-experiment recompile/eval gaps).
 
-Reads the run's metrics.jsonl (every record carries ``ts``), sorts by time, and
-splits the stream into contiguous phases (a new phase starts whenever the
-record's metric prefix changes).  Gaps between phases (compile + untimed work
-such as sample generation) are attributed to the phase that follows them.
-Prints a markdown table for RESULTS.md.
+Phases: diffusion (Phase A), generation+FID (gap between the last diffusion
+record and the first classifier record), then per-experiment classifier
+spans with the *gap before* each (compile/eval time not covered by epoch
+records).
 
-Usage: python perf/protocol_phases.py <metrics.jsonl> [process_start_unix_ts]
+Usage: python perf/protocol_phases.py <metrics.jsonl> [<classifier metrics.jsonl>]
+(The classifier phase logs into <project>_classifier/metrics.jsonl when the
+orchestrator's clf_cfg renames the project; pass both files if split.)
 """
+
 import json
 import sys
 
 
-def phase_of(r):
-    for k in r:
-        if k.startswith("resnet_exp"):
-            return k.split()[0]
-        if k.startswith("diffusion_model"):
-            return "diffusion_train"
-        if k.startswith("fid_pixel"):
-            return "generation + pixel FID"
-        if k.startswith("fid_classifier"):
-            return "classifier-feature FID"
-        if k.startswith("exp") and "test_f1" in k:
-            return k.split()[0] + " test eval"
-    return None
+def load(paths):
+    rows = []
+    for p in paths:
+        with open(p) as f:
+            rows.extend(json.loads(ln) for ln in f)
+    rows.sort(key=lambda r: r.get("ts", 0))
+    return rows
 
 
-def main(path, start_ts=None):
-    recs = sorted((json.loads(l) for l in open(path)), key=lambda r: r["ts"])
-    segs = []  # (name, first_ts, last_ts) contiguous
-    for r in recs:
-        p = phase_of(r)
-        if p is None:
-            continue
-        if segs and segs[-1][0] == p:
-            segs[-1][2] = r["ts"]
-        else:
-            segs.append([p, r["ts"], r["ts"]])
+def main():
+    rows = load(sys.argv[1:])
+    t0 = rows[0]["ts"]
 
-    t0 = start_ts if start_ts is not None else recs[0]["ts"]
-    print("| phase | ends at (min) | duration (min) |")
-    print("|---|---|---|")
-    prev_end = t0
-    for name, s, e in segs:
-        dur = e - prev_end  # gap before the phase belongs to its compile/setup
-        print(f"| {name} | {(e - t0)/60:.1f} | {dur/60:.1f} |")
-        prev_end = e
-    print(f"| **total** | {(prev_end - t0)/60:.1f} | |")
+    def key_rows(pred):
+        return [r for r in rows if pred(r)]
+
+    diff = key_rows(lambda r: any("diffusion_model" in k for k in r))
+    exps = {}
+    for r in rows:
+        for k in r:
+            if k.startswith("resnet_exp") and "train_loss" in k:
+                exps.setdefault(k.split()[0], []).append(r)
+    test_marks = key_rows(lambda r: any(k.endswith("test_f1") for k in r))
+
+    out = []
+    if diff:
+        out.append(("Phase A diffusion",
+                    diff[0]["ts"] - t0, diff[-1]["ts"] - t0,
+                    len(diff), None))
+    prev_end = diff[-1]["ts"] if diff else t0
+    for name in sorted(exps):
+        rs = exps[name]
+        gap = rs[0]["ts"] - prev_end
+        out.append((name, rs[0]["ts"] - t0, rs[-1]["ts"] - t0, len(rs), gap))
+        # the test-eval record for this exp, if later than last epoch
+        marks = [m for m in test_marks
+                 if any(k.startswith(name.replace("resnet_", ""))
+                        for k in m)]
+        prev_end = max([rs[-1]["ts"]] + [m["ts"] for m in marks])
+    total = rows[-1]["ts"] - t0
+    print(f"{'phase':22s} {'start':>8s} {'end':>8s} {'span':>8s} "
+          f"{'epochs':>6s} {'gap-before':>10s}")
+    for name, s, e, n, gap in out:
+        print(f"{name:22s} {s/60:7.1f}m {e/60:7.1f}m {(e-s)/60:7.1f}m "
+              f"{n:6d} {('%7.1fm' % (gap/60)) if gap is not None else '      -'}")
+    print(f"total wall (first->last record): {total/60:.1f} min")
+    gaps = [g for *_, g in out if g is not None]
+    if gaps:
+        print(f"sum of inter-phase gaps: {sum(gaps)/60:.1f} min "
+              f"(round-2 baseline: ~38 min)")
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], float(sys.argv[2]) if len(sys.argv) > 2 else None)
+    main()

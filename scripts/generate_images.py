@@ -61,7 +61,9 @@ def main() -> None:
         jax.random.key(0), jnp.zeros((1,) + shape), jnp.zeros((1,), jnp.int32),
         jnp.zeros((1,), jnp.int32),
     )
-    params = ckpt.load_params(path, template)
+    # device_put ONCE: load_params returns host numpy, and a host tree passed
+    # to a jitted sampler re-uploads ~81 MB per call over the tunnel
+    params = jax.device_put(ckpt.load_params(path, template))
 
     classes = np.repeat(np.arange(d.num_classes, dtype=np.int32), args.per_class)
     if args.sampler == "ddim":
