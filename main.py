@@ -35,8 +35,13 @@ def main() -> None:
     ap.add_argument("--ddim-steps", type=int, default=50)
     ap.add_argument("--negative-control", action="store_true",
                     help="also generate a deliberately broken synthetic set "
-                         "(5-step, cfg=0) and report its FID proxies — "
-                         "evidence the quality metrics can fail")
+                         "(5-step, cfg=0) and report its FID proxies plus an "
+                         "exp2_broken classifier — evidence the quality "
+                         "metrics can fail")
+    ap.add_argument("--diffusion-checkpoint", default=None,
+                    help="skip Phase A: restore the diffusion TrainState from "
+                         "this .msgpack (e.g. a previous protocol run's "
+                         "best_state.msgpack) and go straight to generation")
     args = ap.parse_args()
 
     from ldm_tpu.config import load_config
@@ -58,6 +63,7 @@ def main() -> None:
         sampler=args.sampler,
         ddim_steps=args.ddim_steps,
         negative_control=args.negative_control,
+        diffusion_checkpoint=args.diffusion_checkpoint,
     )
     out = {"test_f1": result.test_f1,
            "synthetic_size": result.synthetic_size,
