@@ -629,6 +629,18 @@ _BLOCK_ITEMS_BY_KIND = {
 # Back-compat alias used by perf probes / tests: the v5e table.
 _BLOCK_ITEMS = _BLOCK_ITEMS_BY_KIND["TPU v5 lite"]
 
+# Backward-kernel G overrides (perf/probe20.json).  The per-block fwd+bwd
+# microbench has high run-to-run variance over the tunnel (probe18 vs
+# probe18b: XLA baselines swung 2x), so only the DECISIVE finding is tabled:
+# at (64, 256) G=8 pathologically spills (40.6 ms vs 6.1 at G=32) and the
+# full fwd G=32 wins over the halved heuristic's 16 by ~8%/block.  All other
+# shapes use half the forward's G (the full-train-step A/B measured the
+# swept per-shape "winners" within noise of the heuristic: 143.2 vs
+# 144.3-147.2 steps/s).
+_BLOCK_ITEMS_BWD_BY_KIND = {
+    "TPU v5 lite": {(64, 256): 32},
+}
+
 
 def _device_kind() -> str:
     """First device's kind, e.g. "TPU v5 lite" — '' when unavailable."""
@@ -647,13 +659,27 @@ def _tuned_table() -> dict:
     return {}
 
 
-def _pick_block_items(b: int, n: int, c: int) -> int:
-    tabled = _tuned_table().get((n, c)) or _BLOCK_ITEMS.get((n, c))
-    want = tabled or max(1, (2 << 20) // max(1, n * c * 2))
+def _fit_divisor(want: int, b: int) -> int:
     want = min(want, b)  # O(want) fallback loop must not scan past the batch
     while b % want:
         want -= 1
     return max(1, want)
+
+
+def _pick_block_items(b: int, n: int, c: int) -> int:
+    tabled = _tuned_table().get((n, c)) or _BLOCK_ITEMS.get((n, c))
+    want = tabled or max(1, (2 << 20) // max(1, n * c * 2))
+    return _fit_divisor(want, b)
+
+
+def _pick_block_items_bwd(b: int, n: int, c: int) -> int:
+    """Measured backward-kernel G for this device kind (perf/probe20.json);
+    unswept shapes use half the forward's G (VMEM-headroom heuristic)."""
+    kind = _device_kind()
+    for prefix, table in _BLOCK_ITEMS_BWD_BY_KIND.items():
+        if kind.startswith(prefix) and (n, c) in table:
+            return _fit_divisor(table[(n, c)], b)
+    return _fit_divisor(max(1, _pick_block_items(b, n, c) // 2), b)
 
 
 def prefer_pallas(b: int, n: int, c: int, dtype=None) -> bool:
@@ -1028,9 +1054,7 @@ def linear_attention_block_pallas_bwd(
 
     b, n, c = x.shape
     hidden = heads * dim_head
-    # bwd holds ~2.5x the forward's VMEM (recompute + grads): halve the
-    # forward's measured G unless overridden
-    g = block_items or max(1, _pick_block_items(b, n, c) // 2)
+    g = block_items or _pick_block_items_bwd(b, n, c)
     while b % g:
         g -= 1
     row = lambda p: p.reshape(1, -1)  # noqa: E731
