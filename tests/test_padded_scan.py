@@ -197,3 +197,28 @@ def test_early_stopping_min_delta_rel():
     for _ in range(10):
         ref(0.0, None)
     assert not ref.early_stop
+
+
+def test_padded_scan_on_mesh_matches_single_device():
+    """PaddedEpochScan with a DP mesh (the protocol-on-pod path): same final
+    state as the meshless program on the same data, padding still masked."""
+    from ldm_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh()  # 8 virtual CPU devices (conftest)
+    ds = synthetic_dataset(24, 8, 1, seed=4)
+
+    def run(mesh_arg):
+        pad = PaddedEpochScan(_counting_step_body, 8, 40,
+                              image_shape=(8, 8, 1), mesh=mesh_arg,
+                              shuffle=False)
+        pad.set_data(ds.images, ds.labels)
+        return pad(_state(), 0)
+
+    s_mesh, out_mesh = run(mesh)
+    s_none, out_none = run(None)
+    np.testing.assert_allclose(np.asarray(s_mesh.params["w"]),
+                               np.asarray(s_none.params["w"]), rtol=1e-6)
+    assert np.asarray(out_mesh["valid"]).tolist() == [1, 1, 1, 0, 0]
+    np.testing.assert_allclose(np.asarray(out_mesh["loss"]),
+                               np.asarray(out_none["loss"]), rtol=1e-6)
+    assert int(s_mesh.step) == 3
