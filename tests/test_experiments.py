@@ -40,7 +40,20 @@ def test_augmentation_experiment_tiny(tmp_path):
     result = run_augmentation_experiment(
         cfg, n_per_class=4, sample_batch=16, classifier_epochs=1,
         classifier_arch=dict(n_blocks=(1,), n_channels=(8,)),
+        negative_control=True,
     )
-    assert set(result.test_f1) == {"exp1", "exp2", "exp3", "exp4", "exp5"}
+    assert set(result.test_f1) == {"exp1", "exp2", "exp3", "exp4", "exp5",
+                                   "exp2_broken"}
     assert all(0.0 <= v <= 1.0 for v in result.test_f1.values())
     assert result.synthetic_size == 40
+    assert result.fid_pixel_broken is not None
+    assert result.fid_classifier_broken is not None
+
+    # Phases-C+ resume from the Phase-A checkpoint: same experiment keys,
+    # zero diffusion epochs retrained (--diffusion-checkpoint path)
+    result2 = run_augmentation_experiment(
+        cfg, n_per_class=4, sample_batch=16, classifier_epochs=1,
+        classifier_arch=dict(n_blocks=(1,), n_channels=(8,)),
+        diffusion_checkpoint=f"{cfg.checkpoints}/best_state.msgpack",
+    )
+    assert set(result2.test_f1) == {"exp1", "exp2", "exp3", "exp4", "exp5"}
