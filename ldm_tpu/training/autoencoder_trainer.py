@@ -143,13 +143,19 @@ class AutoencoderTrainer:
         self._best_state = jax.tree.map(jnp.copy, state)
         self._best_dirty = True
 
-    def _flush_best(self) -> None:
+    def _flush_best(self, full_state: bool = False) -> None:
+        """Weights-only at the cadence (what the latent pipeline consumes);
+        the 4x-params full TrainState only at train end — the VAE state is
+        ~1 GB and a full device_get+serialize over the tunnel costs ~9 min."""
         if not getattr(self, "_best_dirty", False):
             return
         state = self._best_state
         ckpt.save_params(f"{self.config.checkpoints}/autoencoder.msgpack", state.params)
-        ckpt.save_state(f"{self.config.checkpoints}/autoencoder_state.msgpack", state)
-        self._best_dirty = False
+        if full_state:
+            ckpt.save_state(
+                f"{self.config.checkpoints}/autoencoder_state.msgpack", state
+            )
+            self._best_dirty = False
 
     # ---------------------------------------------------------------- epochs
     def _epoch(self, train: bool) -> float:
@@ -222,5 +228,5 @@ class AutoencoderTrainer:
             if self.early_stopping.early_stop:
                 print("Early stopping")
                 break
-        self._flush_best()
+        self._flush_best(full_state=True)
         return history
