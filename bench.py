@@ -179,9 +179,10 @@ def bench_reference_style(model, diffusion, params, batch: int,
     return batch / (dt / n_steps * T)
 
 
-def bench_train_step(model, diffusion, params):
+def bench_train_step(model, diffusion, params, batch: int = 64):
     """UNet train steps/sec + train MFU (secondary metric), batch 64 like the
-    reference.
+    reference (also measured at 256 — the deployment batch where the fp32
+    optimizer stream amortizes, docs/perf_round3.md §4).
 
     Measured as a lax.scan over steps — the framework's actual stepping mode
     (DiffusionTrainer runs whole epochs as one scan over a device-resident
@@ -197,8 +198,8 @@ def bench_train_step(model, diffusion, params):
     train_model = model.clone(attention_impl="auto_grads")
     flops_model = build_flops_twin(model)  # cost analysis can't see Pallas
     state = TrainState.create(params, make_optimizer(5e-4), jax.random.key(1))
-    images = jnp.zeros((64, 32, 32, 3), jnp.float32)
-    labels = jnp.zeros((64,), jnp.int32)
+    images = jnp.zeros((batch, 32, 32, 3), jnp.float32)
+    labels = jnp.zeros((batch,), jnp.int32)
     n = 50
 
     def make_step(m):
@@ -523,6 +524,10 @@ def main():
     best_batch = max(ours, key=ours.get)
     imgs_per_sec = ours[best_batch]
     steps_per_sec, train_mfu = bench_train_step(model, diffusion, params)
+    # deployment-batch train point: B=256 amortizes the fp32 Adam+EMA stream
+    # that floors MFU at the reference's B=64 (docs/perf_round3.md §4)
+    steps_b256, train_mfu_b256 = bench_train_step(model, diffusion, params,
+                                                  batch=256)
 
     # fleet: classifier / VAE / latent-diffusion (VERDICT r2 item 4)
     clf_steps, clf_mfu = bench_classifier_train()
@@ -629,6 +634,8 @@ def main():
         "vs_reference_style_same_chip": round(imgs_per_sec / ref_style, 2),
         "train_steps_per_sec": round(steps_per_sec, 3),
         "train_mfu": round(train_mfu, 4) if train_mfu else None,
+        "train_steps_per_sec_b256": round(steps_b256, 3),
+        "train_mfu_b256": round(train_mfu_b256, 4) if train_mfu_b256 else None,
         # the rest of the fleet (VERDICT r2 item 4): the classifier dominates
         # protocol wall-clock; VAE + latent cover the other model families
         "classifier_train_steps_per_sec": round(clf_steps, 3),

@@ -70,7 +70,18 @@ class DiffusionConfig:
     # practice, Ho & Salimans 2022); default keeps reference behavior.
     label_drop_mode: str = "batch"
     # Latent diffusion only (reference src/LatentDiffusionModel.py:28,37).
-    latent_scaling_factor: float = 0.18215
+    # A float, or "auto" to calibrate 1/std(latents) on a batch of training
+    # images at trainer startup (models/latent.py:calibrate_latent_scaling —
+    # the SD constant 0.18215 is only correct for SD's own VAE).
+    latent_scaling_factor: Any = 0.18215
+
+    def __post_init__(self) -> None:
+        f = self.latent_scaling_factor
+        if f != "auto" and (not isinstance(f, (int, float)) or f <= 0):
+            raise ValueError(
+                f'diffusion.latent_scaling_factor must be a positive number or '
+                f'"auto", got {f!r}'
+            )
 
 
 @dataclasses.dataclass

@@ -28,6 +28,26 @@ from ldm_tpu.registry import register
 Array = jax.Array
 
 
+def calibrate_latent_scaling(autoencoder, ae_params, images: Array, key: Array) -> float:
+    """1 / std of sampled latents over a calibration batch.
+
+    The reference hardcodes Stable Diffusion's 0.18215
+    (src/LatentDiffusionModel.py:28 takes it as a constructor constant) — but
+    that constant is itself the 1/std of *SD's* VAE latents, and applying it to
+    a different autoencoder mis-scales the diffusion signal: this repo's
+    ELBO-MSE VAE produces latents with std ~1.0, so 0.18215 shrinks them to
+    std ~0.18, and the linear-beta schedule's SNR crosses 1 after only a few
+    noising steps (measured: latent classifier-FID 5.98 vs 1.22 calibrated —
+    perf/probe22.json vs probe23.json).  ``latent_scaling_factor: auto`` in the
+    config recomputes the constant the way SD originally derived it.
+    """
+    import jax.numpy as jnp
+
+    moments = autoencoder.apply(ae_params, images, method="encode_moments")
+    z = autoencoder.sample_latent(moments, key)
+    return float(1.0 / jnp.std(z.astype(jnp.float32)))
+
+
 @register("ldm_tpu.models.latent.LatentDiffusionModel")
 class LatentDiffusionModel:
     """eps-model over scaled VAE latents (reference src/LatentDiffusionModel.py)."""

@@ -29,6 +29,25 @@ from ldm_tpu.utils.logging import MetricsLogger
 Array = jax.Array
 
 
+def resolve_latent_scaling(config: Config, autoencoder, ae_params, train_loader) -> float:
+    """Resolve ``diffusion.latent_scaling_factor`` — a float, or ``"auto"`` to
+    calibrate 1/std on a deterministic batch of training images (the first
+    ≤512, transformed like training batches, keyed by the config seed).
+    Train- and sample-time callers resolve to the identical constant."""
+    factor = config.diffusion.latent_scaling_factor
+    if factor != "auto":
+        return float(factor)
+    import jax.numpy as jnp
+
+    from ldm_tpu.models.latent import calibrate_latent_scaling
+
+    images = train_loader.transform(train_loader.dataset.images[:512])
+    return calibrate_latent_scaling(
+        autoencoder, ae_params, jnp.asarray(images),
+        jax.random.key(config.seed),
+    )
+
+
 def latent_shape_of(autoencoder, image_size: int):
     """Spatial downsampling is 2^(n_resolutions - 1) (reference Encoder downsamples
     after every top-level block except the last, src/Autoencoder.py:241-244)."""

@@ -61,17 +61,23 @@ def main() -> None:
         print("WARNING: no ae_checkpoint configured — using random-init autoencoder")
         ae_params = ae_template
 
+    train_loader, val_loader, _test, classes = create_dataloaders(
+        config, allow_synthetic_fallback=not args.strict_data
+    )
+    from ldm_tpu.training.latent_trainer import resolve_latent_scaling
+
+    scaling = resolve_latent_scaling(config, ae, ae_params, train_loader)
+    if config.diffusion.latent_scaling_factor == "auto":
+        print(f"calibrated latent_scaling_factor = {scaling:.5f} (1/std of latents)")
+
     dc = config.diffusion
     ldm = LatentDiffusionModel(
         eps_model=build_model(config),
         autoencoder=ae,
-        latent_scaling_factor=dc.latent_scaling_factor,
+        latent_scaling_factor=scaling,
         n_steps=dc.n_steps,
         linear_start=dc.beta_start,
         linear_end=dc.beta_end,
-    )
-    train_loader, val_loader, _test, classes = create_dataloaders(
-        config, allow_synthetic_fallback=not args.strict_data
     )
     trainer = LatentDiffusionTrainer(
         config, ldm, ae_params, train_loader, val_loader, classes,

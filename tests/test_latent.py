@@ -70,6 +70,44 @@ def test_latent_trainer_end_to_end(tmp_path):
     assert imgs_ddim.shape == (2, 16, 16, 1) and imgs_ddim.dtype == np.uint8
 
 
+def test_calibrate_latent_scaling_auto():
+    """latent_scaling_factor: "auto" resolves to 1/std of sampled latents, and
+    the trainer-side resolver returns the identical constant for identical
+    config+data (so sample-time callers re-derive the training-time factor)."""
+    from ldm_tpu.models.latent import calibrate_latent_scaling
+    from ldm_tpu.training.latent_trainer import resolve_latent_scaling
+
+    ldm = _tiny_ldm()
+    ae_params = jax.jit(ldm.autoencoder.init)(
+        jax.random.key(0), jnp.zeros((1, 16, 16, 1)), jax.random.key(1)
+    )
+    ds = synthetic_dataset(64, 16, 1, seed=0)
+    loader = DataLoader(ds, 16, seed=0)
+    imgs = jnp.asarray(loader.transform(ds.images[:512]))
+    f = calibrate_latent_scaling(ldm.autoencoder, ae_params, imgs, jax.random.key(42))
+    # direct check against the definition
+    moments = ldm.autoencoder.apply(ae_params, imgs, method="encode_moments")
+    z = ldm.autoencoder.sample_latent(moments, jax.random.key(42))
+    np.testing.assert_allclose(f, 1.0 / float(jnp.std(z)), rtol=1e-6)
+
+    cfg = Config(
+        type="latent", diffusion=DiffusionConfig(latent_scaling_factor="auto"),
+        data=DataConfig(dataset="SYNTHETIC", image_size=16, image_channels=1),
+    )
+    r1 = resolve_latent_scaling(cfg, ldm.autoencoder, ae_params, loader)
+    r2 = resolve_latent_scaling(cfg, ldm.autoencoder, ae_params, loader)
+    assert r1 == r2 == pytest.approx(
+        calibrate_latent_scaling(ldm.autoencoder, ae_params, imgs,
+                                 jax.random.key(cfg.seed)), rel=1e-6)
+    # floats pass through untouched; junk is rejected at config construction
+    cfg2 = Config(diffusion=DiffusionConfig(latent_scaling_factor=0.5))
+    assert resolve_latent_scaling(cfg2, ldm.autoencoder, ae_params, loader) == 0.5
+    with pytest.raises(ValueError):
+        DiffusionConfig(latent_scaling_factor="bogus")
+    with pytest.raises(ValueError):
+        DiffusionConfig(latent_scaling_factor=-1.0)
+
+
 def test_encode_decode_roundtrip_scaling():
     ldm = _tiny_ldm()
     ae_params = jax.jit(ldm.autoencoder.init)(
