@@ -544,15 +544,23 @@ def main():
 
     # capability-plus: 50-step DDIM from the same weights (diffusion/ddpm.py
     # sample_ddim — rate is weight-independent, quality evidence in
-    # perf/probe17_ddim.json from the trained protocol checkpoint)
+    # perf/probe17_ddim.json from the trained protocol checkpoint).
+    # A single 50-step run is only ~0.2 s — comparable to the axon tunnel's
+    # per-dispatch jitter — so scan 4 full sampling runs inside ONE dispatch
+    # (the same discipline every other bench here uses).
     d400 = GaussianDiffusion(n_steps=400)
     classes_ddim = jnp.arange(best_batch, dtype=jnp.int32) % 10
+    _ddim_reps = 4
 
     @jax.jit
     def _ddim_run(params, key):
-        return d400.sample_ddim(model.apply, params, key, classes_ddim,
-                                (32, 32, 3), n_sample_steps=50,
-                                cfg_scale=3.0, null_label=10)
+        def one(_, k):
+            x0 = d400.sample_ddim(model.apply, params, k, classes_ddim,
+                                  (32, 32, 3), n_sample_steps=50,
+                                  cfg_scale=3.0, null_label=10)
+            return None, x0
+        _, xs = jax.lax.scan(one, None, jax.random.split(key, _ddim_reps))
+        return xs
 
     np.asarray(_ddim_run(params, jax.random.key(0)))
     _times = []
@@ -560,7 +568,7 @@ def main():
         _t0 = time.perf_counter()
         np.asarray(_ddim_run(params, jax.random.key(i + 1)))
         _times.append(time.perf_counter() - _t0)
-    ddim50_imgs = best_batch / min(_times) / n_chips
+    ddim50_imgs = _ddim_reps * best_batch / min(_times) / n_chips
 
     # ---- baselines: the style sweep and the torch-CPU measurement cache
     # independently (a failed torch import must not discard the expensive
