@@ -349,22 +349,24 @@ def bench_vae_train(batch: int = 64, n: int = 20):
 
 
 def bench_latent_sampling(batch: int = 256):
-    """Latent-diffusion sampling: the T=400 CFG scan over the 4x4x8-latent UNet
-    + one frozen-VAE decode (configs/latent_diffusion_cifar10.yaml geometry),
-    images/sec.  The reference's latent path cannot run at all
+    """Latent-diffusion sampling: the T=1000 CFG scan over the 128ch
+    4x4x8-latent UNet + one frozen-VAE decode
+    (configs/latent_diffusion_hard.yaml geometry — the configuration whose
+    sample quality matches the pixel family, RESULTS.md/probe25), images/sec.
+    The reference's latent path cannot run at all
     (src/LatentDiffusionModel.py:72, PARITY.md #14), so this reports
     standalone throughput with no reference-style baseline."""
     from ldm_tpu.diffusion.ddpm import GaussianDiffusion
     from ldm_tpu.models.autoencoder import Autoencoder
     from ldm_tpu.models.unet import UNet
 
-    unet = UNet(in_channels=8, out_channels=8, channels=64,
+    unet = UNet(in_channels=8, out_channels=8, channels=128,
                 channel_multipliers=(1,), num_classes=10, dtype=jnp.bfloat16)
     vae = Autoencoder(in_channels=3, out_channels=3, channels=64,
                       channel_multipliers=(1, 2, 4, 8), n_resnet_blocks=2,
                       z_channels=8, dtype=jnp.bfloat16)
     diffusion = GaussianDiffusion(
-        n_steps=400, schedule="sqrt_linear", beta_start=0.00085, beta_end=0.012
+        n_steps=1000, schedule="sqrt_linear", beta_start=0.00085, beta_end=0.012
     )
     z = jnp.zeros((1, 4, 4, 8), jnp.float32)
     uparams = jax.jit(unet.init)(
@@ -374,7 +376,7 @@ def bench_latent_sampling(batch: int = 256):
     vparams = jax.jit(vae.init)(jax.random.key(1), jnp.zeros((1, 32, 32, 3)),
                                 jax.random.key(2))
     classes = jnp.arange(batch, dtype=jnp.int32) % 10
-    scale = 0.18215
+    scale = 1.0  # calibrated 1/std for this VAE (latent_scaling_factor: auto)
 
     @jax.jit
     def run(uparams, vparams, key):
