@@ -100,7 +100,7 @@ def generate_synthetic_dataset(
     classes = classes if classes is not None else list(range(num_classes))
     labels = np.repeat(np.asarray(classes, np.int32), n_per_class)
     images = np.empty(
-        (len(labels),) + trainer.image_shape, np.uint8
+        (len(labels),) + trainer.output_image_shape, np.uint8
     )
     for i in range(0, len(labels), batch_size):
         chunk = labels[i : i + batch_size]
@@ -137,6 +137,7 @@ def run_augmentation_experiment(
     ddim_steps: int = 50,
     negative_control: bool = False,
     diffusion_checkpoint: Optional[str] = None,
+    generator_config: Optional[str] = None,
 ) -> AugmentationResult:
     logger = logger or MetricsLogger(config.dirpath, config.project_name)
     config.create_dirs()
@@ -165,14 +166,72 @@ def run_augmentation_experiment(
     test_loader = DataLoader(test, config.batch_size, shuffle=False, drop_last=False)
 
     # ---- Phase A: diffusion training (main.py:142-188) ----------------------
-    model = build_model(config)
-    diffusion = build_diffusion(config)
-    dt = DiffusionTrainer(
-        config, model, diffusion,
-        DataLoader(diff_tr, config.batch_size, seed=config.seed),
-        DataLoader(diff_va, config.batch_size, seed=config.seed + 1),
-        classes, mesh=mesh, logger=logger,
-    )
+    diff_train_loader = DataLoader(diff_tr, config.batch_size, seed=config.seed)
+    diff_val_loader = DataLoader(diff_va, config.batch_size, seed=config.seed + 1)
+    if generator_config:
+        # capability-plus: drive Phases A/C with the LATENT family — the
+        # reference's aspirational path (src/LatentDiffusionModel.py, never
+        # wired) as a first-class protocol generator.  The latent sampler is
+        # ~5-14x cheaper per image at matched quality (RESULTS.md/probe25),
+        # so Phase C's 20k+ images cost seconds instead of minutes.  The
+        # generator's own config supplies the latent UNet/schedule/frozen-VAE;
+        # the protocol's data discipline (diffusion sees only half 1) is kept
+        # by feeding it the same diff_tr/diff_va splits.
+        import jax.numpy as jnp
+
+        from ldm_tpu.config import load_config
+        from ldm_tpu.factory import compute_dtype
+        from ldm_tpu.models.latent import LatentDiffusionModel
+        from ldm_tpu.registry import instantiate_from_config
+        from ldm_tpu.training import checkpoint as ckpt_mod
+        from ldm_tpu.training.latent_trainer import (
+            LatentDiffusionTrainer, resolve_latent_scaling,
+        )
+
+        gen_cfg = load_config(generator_config)
+        assert gen_cfg.type == "latent", (
+            f"generator_config must be a latent config, got type={gen_cfg.type!r}"
+        )
+        assert gen_cfg.autoencoder is not None
+        ae = instantiate_from_config(
+            {"target": gen_cfg.autoencoder.target,
+             "params": gen_cfg.autoencoder.params},
+            dtype=compute_dtype(gen_cfg),
+        )
+        ae_tmpl = jax.eval_shape(
+            ae.init, jax.random.key(0),
+            jnp.zeros((1, d.image_size, d.image_size, d.image_channels)),
+            jax.random.key(1),
+        )
+        ae_tmpl = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), ae_tmpl)
+        if gen_cfg.ae_checkpoint:
+            ae_params = jax.device_put(
+                ckpt_mod.load_params(gen_cfg.ae_checkpoint, ae_tmpl))
+        else:  # tests / smoke runs: random frozen first stage
+            ae_params = jax.jit(ae.init)(
+                jax.random.key(0),
+                jnp.zeros((1, d.image_size, d.image_size, d.image_channels)),
+                jax.random.key(1),
+            )
+        scaling = resolve_latent_scaling(gen_cfg, ae, ae_params,
+                                         diff_train_loader)
+        gdc = gen_cfg.diffusion
+        ldm = LatentDiffusionModel(
+            eps_model=build_model(gen_cfg), autoencoder=ae,
+            latent_scaling_factor=scaling, n_steps=gdc.n_steps,
+            linear_start=gdc.beta_start, linear_end=gdc.beta_end,
+        )
+        dt = LatentDiffusionTrainer(
+            gen_cfg, ldm, ae_params, diff_train_loader, diff_val_loader,
+            classes, mesh=mesh, logger=logger,
+        )
+    else:
+        model = build_model(config)
+        diffusion = build_diffusion(config)
+        dt = DiffusionTrainer(
+            config, model, diffusion, diff_train_loader, diff_val_loader,
+            classes, mesh=mesh, logger=logger,
+        )
     if diffusion_checkpoint:
         # Phase A resume: start Phases C+ from an already-trained model (the
         # reference's load_model path, src/utils.py:36-45; main.py keeps

@@ -204,6 +204,13 @@ class DiffusionTrainer:
         DDPM; the latent trainer decodes through the frozen VAE."""
         return x0
 
+    @property
+    def output_image_shape(self) -> Tuple[int, int, int]:
+        """Shape of ``sample()``'s per-image output AFTER _postprocess — equals
+        the diffusion-space shape for pixel DDPM; the latent trainer overrides
+        (it samples 4x4xz latents but returns decoded HxWxC images)."""
+        return self.image_shape
+
     def _build_sampler(self):
         model, diffusion = self.model, self.diffusion
 

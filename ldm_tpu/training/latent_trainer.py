@@ -76,6 +76,13 @@ class LatentDiffusionTrainer(DiffusionTrainer):
             classes, mesh=mesh, logger=logger, input_shape=z_shape,
         )
 
+    @property
+    def output_image_shape(self):
+        """Decoded image geometry (sampling returns VAE-decoded images, not
+        the 4x4xz latents the diffusion scan runs over)."""
+        d = self.config.data
+        return (d.image_size, d.image_size, d.image_channels)
+
     def _encode(self, key: Array, image: Array) -> Array:
         """scale * encode(image).sample() inside the jitted step
         (reference src/LatentDiffusionModel.py:57-65)."""

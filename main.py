@@ -42,6 +42,13 @@ def main() -> None:
                     help="skip Phase A: restore the diffusion TrainState from "
                          "this .msgpack (e.g. a previous protocol run's "
                          "best_state.msgpack) and go straight to generation")
+    ap.add_argument("--generator-config", default=None,
+                    help="capability-plus: drive Phases A/C with the LATENT "
+                         "family — path to a latent config (frozen-VAE "
+                         "checkpoint + latent UNet); combine with "
+                         "--diffusion-checkpoint to reuse a trained latent "
+                         "TrainState. Latent sampling is ~5-14x cheaper per "
+                         "image at matched quality (RESULTS.md)")
     args = ap.parse_args()
 
     from ldm_tpu.config import load_config
@@ -64,6 +71,7 @@ def main() -> None:
         ddim_steps=args.ddim_steps,
         negative_control=args.negative_control,
         diffusion_checkpoint=args.diffusion_checkpoint,
+        generator_config=args.generator_config,
     )
     out = {"test_f1": result.test_f1,
            "synthetic_size": result.synthetic_size,

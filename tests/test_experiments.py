@@ -57,3 +57,53 @@ def test_augmentation_experiment_tiny(tmp_path):
         diffusion_checkpoint=f"{cfg.checkpoints}/best_state.msgpack",
     )
     assert set(result2.test_f1) == {"exp1", "exp2", "exp3", "exp4", "exp5"}
+
+
+@pytest.mark.slow
+def test_augmentation_experiment_latent_generator(tmp_path):
+    """--generator-config: the protocol's Phases A/C driven by the latent
+    family (frozen VAE + latent UNet), the rest of the pipeline unchanged."""
+    import yaml
+
+    from ldm_tpu.experiments.augmentation import run_augmentation_experiment
+
+    gen_cfg_path = str(tmp_path / "gen_latent.yaml")
+    with open(gen_cfg_path, "w") as f:
+        yaml.safe_dump({
+            "project_name": "aug_latent_gen", "type": "latent",
+            "workdir": str(tmp_path),
+            "epochs": 1, "batch_size": 16, "use_amp": False, "seed": 0,
+            "sample_every": 0, "checkpoint_every": 0,
+            "diffusion": {
+                "type": "latent", "cfg_scale": 3, "schedule": "sqrt_linear",
+                "latent_scaling_factor": "auto",
+                "params": {"n_steps": 4, "n_samples": 10},
+            },
+            # no ae_checkpoint: random frozen first stage (smoke semantics)
+            "autoencoder": {
+                "target": "ldm_tpu.models.autoencoder.Autoencoder",
+                "params": {"in_channels": 1, "out_channels": 1, "channels": 8,
+                           "channel_multipliers": [1, 2], "n_resnet_blocks": 1,
+                           "z_channels": 4},
+            },
+            "model": {"target": "ldm_tpu.models.unet.UNet",
+                      "params": {"in_channels": 4, "out_channels": 4,
+                                 "channels": 8, "channel_multipliers": [1],
+                                 "num_classes": 10}},
+            "data": {"dataset": "SYNTHETIC", "image_size": 8,
+                     "image_channels": 1},
+        }, f)
+
+    cfg = Config(
+        project_name="aug_lat", workdir=str(tmp_path), epochs=1, batch_size=16,
+        use_amp=False, seed=0,
+        diffusion=DiffusionConfig(n_steps=4, cfg_scale=3),
+        data=DataConfig(dataset="SYNTHETIC", image_size=8, image_channels=1),
+    )
+    result = run_augmentation_experiment(
+        cfg, n_per_class=4, sample_batch=16, classifier_epochs=1,
+        classifier_arch=dict(n_blocks=(1,), n_channels=(8,)),
+        generator_config=gen_cfg_path, sampler="ddim", ddim_steps=2,
+    )
+    assert set(result.test_f1) == {"exp1", "exp2", "exp3", "exp4", "exp5"}
+    assert result.synthetic_size == 40  # decoded to image space, mixed as usual
