@@ -92,6 +92,7 @@ def generate_synthetic_dataset(
     classes: Optional[List[int]] = None,
     sampler: str = "ddpm",
     ddim_steps: int = 50,
+    decode_scale_override: float = 0.0,
 ) -> Dataset:
     """Sample ``n_per_class`` images per class with CFG (reference Phase C,
     main.py:294-324) — batched across classes in one device call per batch.
@@ -109,7 +110,8 @@ def generate_synthetic_dataset(
         y = np.concatenate([chunk, np.zeros((pad,), np.int32)]) if pad else chunk
         key = jax.random.fold_in(trainer.state.key, 0x6E0 + i)
         out = trainer.sample(y, cfg_scale=cfg_scale, key=key, method=sampler,
-                             ddim_steps=ddim_steps)
+                             ddim_steps=ddim_steps,
+                             decode_scale_override=decode_scale_override)
         images[i : i + len(chunk)] = out[: len(chunk)]
     ds = Dataset(images, labels, classes, "synthetic")
     if save_dir:
@@ -272,12 +274,31 @@ def run_augmentation_experiment(
     broken_fid = broken = None
     if negative_control:
         # full exp2 size: the F1-level control (exp2_broken below) must not
-        # be confounded by a smaller training set
-        broken = generate_synthetic_dataset(
-            dt, num_classes, n_per_class, batch_size=sample_batch,
-            cfg_scale=0.0,  # unguided AND 5-step: visibly degraded samples
-            classes=classes, sampler="ddim", ddim_steps=5,
-        )
+        # be confounded by a smaller training set.
+        # The break is FAMILY-SPECIFIC: each family gets its authentic
+        # failure mode, because the pixel break (unguided + 5-step) does not
+        # degrade the latent family — unguided sampling IS the true
+        # conditional distribution, and few-step DDIM on a 4x4 latent grid
+        # stays close to it (measured: latent DDIM-5/cfg-0 classifier-FID
+        # 0.86 vs 0.97 normal — RESULTS.md probe25; the first latent-protocol
+        # run's inverted control, runs/protocol_r3_latent_gen.log).
+        if hasattr(dt, "ldm"):
+            # latent family: decode with the reference's hardcoded SD
+            # constant instead of the calibrated scale
+            # (src/LatentDiffusionModel.py:28) — the bug class `auto`
+            # calibration exists to fix (perf/probe22.json: FID 5.98).
+            broken = generate_synthetic_dataset(
+                dt, num_classes, n_per_class, batch_size=sample_batch,
+                cfg_scale=config.diffusion.cfg_scale, classes=classes,
+                sampler=sampler, ddim_steps=ddim_steps,
+                decode_scale_override=0.18215,
+            )
+        else:
+            broken = generate_synthetic_dataset(
+                dt, num_classes, n_per_class, batch_size=sample_batch,
+                cfg_scale=0.0,  # unguided AND 5-step: visibly degraded samples
+                classes=classes, sampler="ddim", ddim_steps=5,
+            )
         rng_b = np.random.default_rng(config.seed + 0xB40)
         n_fid_b = min(len(broken), n_fid)
         broken_fid = broken.images[rng_b.permutation(len(broken))[:n_fid_b]]

@@ -199,9 +199,13 @@ class DiffusionTrainer:
         eval_step.__name__ = "_eval_step"
         return self._jit(eval_step)
 
-    def _postprocess(self, x0: Array) -> Array:
+    def _postprocess(self, x0: Array, decode_scale_override: float = 0.0) -> Array:
         """Map sampled diffusion-space tensors to image space — identity for pixel
-        DDPM; the latent trainer decodes through the frozen VAE."""
+        DDPM; the latent trainer decodes through the frozen VAE.
+        ``decode_scale_override`` (latent family only) decodes with a WRONG
+        latent scale — the negative-control knob that reproduces the
+        reference's hardcoded-SD-constant failure mode
+        (src/LatentDiffusionModel.py:28; perf/probe22.json). Ignored here."""
         return x0
 
     @property
@@ -215,7 +219,7 @@ class DiffusionTrainer:
         model, diffusion = self.model, self.diffusion
 
         def _sample(params, key, classes, cfg_scale, method="ddpm",
-                    ddim_steps=50, eta=0.0):
+                    ddim_steps=50, eta=0.0, decode_scale_override=0.0):
             if method == "ddim":
                 # capability-plus few-step sampler (ddpm.py sample_ddim) —
                 # same fused-CFG scan design at ddim_steps/T of the cost
@@ -229,9 +233,10 @@ class DiffusionTrainer:
                     model.apply, params, key, classes, self.image_shape,
                     cfg_scale=cfg_scale, null_label=model.num_classes,
                 )
-            return self._postprocess(x0)
+            return self._postprocess(x0, decode_scale_override)
 
-        static = ("cfg_scale", "method", "ddim_steps", "eta")
+        static = ("cfg_scale", "method", "ddim_steps", "eta",
+                  "decode_scale_override")
         if self.mesh is None:
             return jax.jit(_sample, static_argnames=static)
         # DP generation: classes sharded on the data axis, params/key replicated —
@@ -410,11 +415,14 @@ class DiffusionTrainer:
         method: str = "ddpm",
         ddim_steps: int = 50,
         eta: float = 0.0,
+        decode_scale_override: float = 0.0,
     ) -> np.ndarray:
         """Generate one image per entry of ``classes``; returns uint8 NHWC
         (reference ``sample`` + reverse transform,
         src/DiffusionModelTrainer.py:161-180).  ``method="ddim"`` switches to
-        the few-step DDIM sampler (capability-plus)."""
+        the few-step DDIM sampler (capability-plus).
+        ``decode_scale_override`` != 0 mis-scales the latent decode (negative
+        control; no-op for the pixel family — see ``_postprocess``)."""
         key = key if key is not None else jax.random.fold_in(
             self.state.key, 0x5A7712  # fixed salt: sampling stream ≠ training stream
         )
@@ -432,5 +440,6 @@ class DiffusionTrainer:
         else:
             classes = jnp.asarray(classes)
         x0 = self._sampler(params, key, classes, float(cfg_scale), method,
-                           int(ddim_steps), float(eta))
+                           int(ddim_steps), float(eta),
+                           float(decode_scale_override))
         return reverse_transform(jax.device_get(x0)[:n])

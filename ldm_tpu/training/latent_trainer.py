@@ -88,7 +88,20 @@ class LatentDiffusionTrainer(DiffusionTrainer):
         (reference src/LatentDiffusionModel.py:57-65)."""
         return self.ldm.autoencoder_encode(self.ae_params, key, image)
 
-    def _postprocess(self, z0: Array) -> Array:
+    def _postprocess(self, z0: Array, decode_scale_override: float = 0.0) -> Array:
         """Decode sampled latents to images inside the same jitted program —
-        latents never leave HBM (BASELINE.json north star)."""
+        latents never leave HBM (BASELINE.json north star).
+
+        ``decode_scale_override`` != 0 decodes with that scale instead of the
+        calibrated one — the latent family's AUTHENTIC failure mode (the
+        reference hardcodes Stable Diffusion's 0.18215 for every VAE,
+        src/LatentDiffusionModel.py:28; measured classifier-FID 5.98 vs 0.97
+        calibrated, perf/probe22.json).  Used as the protocol's latent
+        negative control: the pixel family's few-step/unguided break does not
+        degrade this family (unguided sampling IS the true conditional
+        distribution — RESULTS.md probe25 table)."""
+        if decode_scale_override:
+            return self.ldm.autoencoder.apply(
+                self.ae_params, z0 / decode_scale_override, method="decode"
+            )
         return self.ldm.autoencoder_decode(self.ae_params, z0)

@@ -104,6 +104,13 @@ def test_augmentation_experiment_latent_generator(tmp_path):
         cfg, n_per_class=4, sample_batch=16, classifier_epochs=1,
         classifier_arch=dict(n_blocks=(1,), n_channels=(8,)),
         generator_config=gen_cfg_path, sampler="ddim", ddim_steps=2,
+        negative_control=True,
     )
-    assert set(result.test_f1) == {"exp1", "exp2", "exp3", "exp4", "exp5"}
+    assert set(result.test_f1) == {"exp1", "exp2", "exp3", "exp4", "exp5",
+                                   "exp2_broken"}
     assert result.synthetic_size == 40  # decoded to image space, mixed as usual
+    # the latent family's negative control is the MIS-SCALED DECODE (the
+    # reference's hardcoded-SD-constant bug class), not the pixel family's
+    # few-step/unguided break — see augmentation.py
+    assert result.fid_pixel_broken is not None
+    assert result.fid_classifier_broken is not None

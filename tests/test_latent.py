@@ -149,3 +149,66 @@ def test_latent_trainer_on_mesh(tmp_path):
     assert np.isfinite(hist["train_loss"][0])
     imgs = trainer.sample(list(range(10)), cfg_scale=3.0)  # 10 on 8 devices: pad
     assert imgs.shape == (10, 16, 16, 1) and imgs.dtype == np.uint8
+
+
+def test_decode_scale_override_negative_control():
+    """``sample(decode_scale_override=s)`` decodes ``z0 / s`` instead of
+    ``z0 / calibrated`` — the protocol's latent negative control (the
+    reference's hardcoded-SD-constant bug class,
+    src/LatentDiffusionModel.py:28). Override == the model's own scale must
+    be bit-identical to the normal path; a mis-scale must change the images."""
+    ldm = _tiny_ldm()
+    cfg = Config(
+        project_name="ldm_nc", workdir="/tmp/ldm_nc", type="latent",
+        epochs=1, batch_size=8, use_amp=False, seed=0,
+        diffusion=DiffusionConfig(n_steps=8, cfg_scale=3),
+        data=DataConfig(dataset="SYNTHETIC", image_size=16, image_channels=1),
+    )
+    ae_params = jax.jit(ldm.autoencoder.init)(
+        jax.random.key(0), jnp.zeros((1, 16, 16, 1)), jax.random.key(1)
+    )
+    ds = synthetic_dataset(24, 16, 1, seed=0)
+    trainer = LatentDiffusionTrainer(
+        cfg, ldm, ae_params,
+        DataLoader(ds.subset(np.arange(16)), 8, seed=0),
+        DataLoader(ds.subset(np.arange(16, 24)), 8, seed=1),
+        classes=list(range(10)),
+    )
+    key = jax.random.key(7)
+    normal = trainer.sample([0, 1], cfg_scale=3.0, key=key)
+    same = trainer.sample([0, 1], cfg_scale=3.0, key=key,
+                          decode_scale_override=ldm.latent_scaling_factor)
+    np.testing.assert_array_equal(normal, same)
+    broken = trainer.sample([0, 1], cfg_scale=3.0, key=key,
+                            decode_scale_override=ldm.latent_scaling_factor * 5)
+    assert not np.array_equal(normal, broken)
+
+
+def test_decode_scale_override_noop_for_pixel_family():
+    """The pixel trainer ignores the override (its _postprocess is identity) —
+    the orchestrator can thread the knob family-agnostically."""
+    from ldm_tpu.config import ModelConfig
+    from ldm_tpu.factory import build_diffusion, build_model
+    from ldm_tpu.training.diffusion_trainer import DiffusionTrainer
+
+    cfg = Config(
+        project_name="pix_nc", workdir="/tmp/pix_nc",
+        epochs=1, batch_size=8, use_amp=False, seed=0,
+        diffusion=DiffusionConfig(n_steps=8, cfg_scale=3),
+        data=DataConfig(dataset="SYNTHETIC", image_size=8, image_channels=1),
+        model=ModelConfig(params=dict(
+            in_channels=1, out_channels=1, channels=8,
+            channel_multipliers=[1, 2], num_classes=10,
+        )),
+    )
+    ds = synthetic_dataset(24, 8, 1, seed=0)
+    tr = DiffusionTrainer(
+        cfg, build_model(cfg), build_diffusion(cfg),
+        DataLoader(ds.subset(np.arange(16)), 8, seed=0),
+        DataLoader(ds.subset(np.arange(16, 24)), 8, seed=1),
+        classes=list(range(10)),
+    )
+    key = jax.random.key(7)
+    a = tr.sample([0, 1], cfg_scale=3.0, key=key)
+    b = tr.sample([0, 1], cfg_scale=3.0, key=key, decode_scale_override=0.18215)
+    np.testing.assert_array_equal(a, b)
