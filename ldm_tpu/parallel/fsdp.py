@@ -1,0 +1,112 @@
+"""FSDP (ZeRO-3-style) parameter sharding over the data axis.
+
+The reference has no distributed backend at all (single CUDA device,
+src/utils.py:133-141); plain DP here replicates parameters, optimizer
+moments, and EMA on every chip — at 20.35M fp32 params that is ~0.4 GB of
+HBM per chip spent on redundant state.  FSDP shards every large state leaf
+across the ``data`` axis instead and lets XLA's GSPMD partitioner insert the
+collectives:
+
+* forward/backward: parameters are **all-gathered just-in-time** at each use
+  and the matching gradients **reduce-scattered** — no hand-written
+  collectives, the sharding annotations ARE the program;
+* optimizer + EMA: purely elementwise over identically-sharded leaves, so
+  the Adam/EMA update runs on 1/N of the state per chip with zero
+  communication;
+* the train-step signature is unchanged — the same jitted step body serves
+  replicated DP and FSDP, only the ``in_shardings`` tree differs.
+
+This is the scaling-book recipe (pick a mesh → annotate shardings → let XLA
+insert collectives): the memory win is N× on optimizer state with
+communication costs that ride the same ICI all-reduce bandwidth plain DP
+already pays (an all-gather + reduce-scatter pair IS an all-reduce).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ldm_tpu.parallel.mesh import DATA_AXIS, replicated
+
+# Leaves smaller than this (elements) stay replicated: sharding a 64-element
+# bias saves nothing and costs an all-gather dispatch; norms/embeddings/biases
+# dominate the leaf COUNT but not the byte count. 4096 elements = 16 KiB fp32.
+MIN_SHARD_SIZE = 2 ** 12
+
+
+def fsdp_leaf_sharding(mesh: Mesh, x, axis: str = DATA_AXIS,
+                       min_size: int = MIN_SHARD_SIZE) -> NamedSharding:
+    """Sharding for one array leaf: shard the LARGEST dimension divisible by
+    the axis size (ties → the earliest such dim); replicate small or
+    indivisible leaves.  Deterministic in the leaf's shape only, so the same
+    rule applied to params / grads / Adam moments / EMA yields identical
+    placements (the elementwise optimizer then needs no resharding)."""
+    n = mesh.shape[axis]
+    shape = getattr(x, "shape", ())
+    size = 1
+    for d in shape:
+        size *= int(d)
+    if n == 1 or size < min_size:
+        return replicated(mesh)
+    best = None  # (dim_size, -index) maximized
+    for i, d in enumerate(shape):
+        if int(d) % n == 0 and (best is None or int(d) > best[0]):
+            best = (int(d), i)
+    if best is None:
+        return replicated(mesh)
+    spec = [None] * len(shape)
+    spec[best[1]] = axis
+    return NamedSharding(mesh, P(*spec))
+
+
+def fsdp_shardings(mesh: Mesh, tree: Any, axis: str = DATA_AXIS,
+                   min_size: int = MIN_SHARD_SIZE) -> Any:
+    """Per-leaf FSDP sharding tree for an arbitrary pytree (params, a whole
+    TrainState, optimizer state...).  Non-array leaves (step counters, PRNG
+    keys, ``None``) come out replicated.  Pass the result as a jit
+    ``in_shardings`` entry — GSPMD propagates it through the program."""
+
+    def rule(x):
+        if x is None:
+            return None
+        if hasattr(x, "dtype") and jax.numpy.issubdtype(
+            x.dtype, jax.dtypes.prng_key
+        ):
+            return replicated(mesh)
+        return fsdp_leaf_sharding(mesh, x, axis, min_size)
+
+    return jax.tree.map(rule, tree)
+
+
+def state_shardings(mesh: Mesh, state: Any, mode: str = "replicated") -> Any:
+    """Sharding tree for a TrainState: ``"replicated"`` (plain DP) or
+    ``"fsdp"`` (params/EMA/moments sharded on the data axis)."""
+    if mode == "replicated":
+        return replicated(mesh)
+    if mode == "fsdp":
+        return fsdp_shardings(mesh, state)
+    raise ValueError(f"unknown param_sharding mode {mode!r} "
+                     "(expected 'replicated' or 'fsdp')")
+
+
+def place_state(mesh: Mesh, state: Any, mode: str = "replicated") -> Any:
+    """Put a (host or single-device) TrainState onto the mesh under ``mode``'s
+    sharding — the one explicit transfer; every jitted program thereafter
+    declares the same tree in its ``in_shardings``."""
+    return jax.device_put(state, state_shardings(mesh, state, mode))
+
+
+def sharded_bytes_per_device(tree: Any) -> int:
+    """Actual bytes of ``tree`` resident on ONE device (the first shard of
+    every leaf) — the memory-saving observable asserted in tests."""
+    total = 0
+    for leaf in jax.tree.leaves(tree):
+        if hasattr(leaf, "addressable_shards") and leaf.addressable_shards:
+            s = leaf.addressable_shards[0].data
+            total += s.size * s.dtype.itemsize
+        elif hasattr(leaf, "nbytes"):
+            total += leaf.nbytes
+    return total

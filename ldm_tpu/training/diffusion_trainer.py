@@ -96,6 +96,24 @@ class DiffusionTrainer:
         self.state = TrainState.create(
             params, make_optimizer(config.lr), k_state, ema_decay=config.ema_decay
         )
+        # Parameter placement on the mesh: replicated (plain DP, default) or
+        # FSDP (ZeRO-3-style, parallel/fsdp.py). `_state_sh` is what every
+        # jitted program declares for the state argument; `_params_sh` is its
+        # params/ema subtree (the sampler's params argument).
+        self.param_sharding = getattr(config, "param_sharding", "replicated")
+        if mesh is not None:
+            from ldm_tpu.parallel.fsdp import state_shardings
+
+            self._state_sh = state_shardings(mesh, self.state,
+                                             self.param_sharding)
+            self._params_sh = (
+                self._state_sh.params
+                if self.param_sharding != "replicated" else self._state_sh
+            )
+            if self.param_sharding != "replicated":
+                self.state = jax.device_put(self.state, self._state_sh)
+        else:
+            self._state_sh = self._params_sh = None
 
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
@@ -124,10 +142,11 @@ class DiffusionTrainer:
         kw = {"donate_argnums": (0,)} if donate_state else {}
         if self.mesh is None:
             return jax.jit(fn, **kw)
-        # State replicated, batch sharded on the data axis; jit/XLA insert the
-        # gradient all-reduce over ICI.
-        rep, dat = replicated(self.mesh), data_sharding(self.mesh)
-        return jax.jit(fn, in_shardings=(rep, dat), **kw)
+        # State replicated (plain DP: XLA inserts the gradient all-reduce over
+        # ICI) or FSDP-sharded (XLA inserts all-gather/reduce-scatter pairs);
+        # batch sharded on the data axis either way.
+        dat = data_sharding(self.mesh)
+        return jax.jit(fn, in_shardings=(self._state_sh, dat), **kw)
 
     def _encode(self, key: Array, image: Array) -> Array:
         """Map a data batch into the diffusion space — identity for pixel DDPM;
@@ -170,6 +189,7 @@ class DiffusionTrainer:
         self._epoch_scan = build_epoch_scan(
             self._step_body, self.train_loader, mesh=self.mesh,
             enabled=getattr(self.config, "scan_epochs", True),
+            state_sharding=self._state_sh,
         )
 
     def _build_eval_step(self):
@@ -254,7 +274,8 @@ class DiffusionTrainer:
         return jax.jit(
             _sample,
             static_argnames=static,
-            in_shardings=(rep, NamedSharding(self.mesh, P()), cls_sh),
+            in_shardings=(self._params_sh, NamedSharding(self.mesh, P()),
+                          cls_sh),
             **kw,
         )
 

@@ -56,6 +56,7 @@ def build_epoch_scan(
     loader,
     mesh=None,
     enabled: bool = True,
+    state_sharding=None,
 ) -> Optional[EpochScan]:
     """Compile ``loader``'s epoch into one scan, or return None if the loader
     isn't the standard in-memory kind (custom transform, no drop_last, batch not
@@ -104,7 +105,10 @@ def build_epoch_scan(
     kw = {"donate_argnums": (0,)}
     if mesh is not None:
         rep = replicated(mesh)
-        kw["in_shardings"] = (rep, rep, rep, rep)
+        # state: replicated (plain DP) or an FSDP sharding tree
+        # (parallel/fsdp.py); the dataset stays replicated either way.
+        st = state_sharding if state_sharding is not None else rep
+        kw["in_shardings"] = (st, rep, rep, rep)
     return EpochScan(jax.jit(epoch_fn, **kw), (imgs, labels), n_batches, b)
 
 
