@@ -144,8 +144,14 @@ class DiffusionTrainer:
             return jax.jit(fn, **kw)
         # State replicated (plain DP: XLA inserts the gradient all-reduce over
         # ICI) or FSDP-sharded (XLA inserts all-gather/reduce-scatter pairs);
-        # batch sharded on the data axis either way.
+        # batch sharded on the data axis either way.  State-returning programs
+        # PIN the output state to the same sharding tree: left free, GSPMD may
+        # pick a different placement for some updated leaf (e.g. shard a small
+        # embedding the FSDP rule replicates), and the next program's
+        # in_shardings would then reject the state.
         dat = data_sharding(self.mesh)
+        if donate_state:  # fn: (state, batch) -> (state, metrics)
+            kw["out_shardings"] = (self._state_sh, replicated(self.mesh))
         return jax.jit(fn, in_shardings=(self._state_sh, dat), **kw)
 
     def _encode(self, key: Array, image: Array) -> Array:

@@ -106,9 +106,12 @@ def build_epoch_scan(
     if mesh is not None:
         rep = replicated(mesh)
         # state: replicated (plain DP) or an FSDP sharding tree
-        # (parallel/fsdp.py); the dataset stays replicated either way.
+        # (parallel/fsdp.py); the dataset stays replicated either way.  The
+        # output state is PINNED to the input tree so GSPMD can't migrate a
+        # leaf to a placement the next program's in_shardings would reject.
         st = state_sharding if state_sharding is not None else rep
         kw["in_shardings"] = (st, rep, rep, rep)
+        kw["out_shardings"] = (st, rep)
     return EpochScan(jax.jit(epoch_fn, **kw), (imgs, labels), n_batches, b)
 
 
