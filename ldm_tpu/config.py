@@ -120,10 +120,12 @@ class Config:
     # dataset (shuffle, gather, noising, step — zero host round-trips per epoch)
     # when the dataset fits in HBM. Falls back to per-batch stepping otherwise.
     scan_epochs: bool = True
-    # Parameter placement on a mesh: "replicated" (plain DP) or "fsdp"
+    # Parameter placement on a mesh: "replicated" (plain DP), "fsdp"
     # (ZeRO-3-style — params/EMA/Adam moments sharded over the data axis,
     # all-gathered just-in-time by GSPMD; ~N x less optimizer-state HBM per
-    # chip). Single-device runs ignore it. See ldm_tpu/parallel/fsdp.py.
+    # chip), or "tp" (Megatron-style attention tensor parallelism over the
+    # mesh's model axis; needs create_mesh(model=k)). Single-device runs
+    # ignore it. See ldm_tpu/parallel/fsdp.py and parallel/tp.py.
     param_sharding: str = "replicated"
     # Cadence knobs (epochs). The reference samples a grid every 2 epochs
     # (src/DiffusionModelTrainer.py:140-143) and has no periodic full-state
@@ -161,10 +163,10 @@ class Config:
                 f"batch_size >= 1 and epochs >= 0 required, got "
                 f"batch_size={self.batch_size}, epochs={self.epochs}"
             )
-        if self.param_sharding not in ("replicated", "fsdp"):
+        if self.param_sharding not in ("replicated", "fsdp", "tp"):
             raise ValueError(
-                f"config.param_sharding must be 'replicated' or 'fsdp', "
-                f"got {self.param_sharding!r}"
+                f"config.param_sharding must be 'replicated', 'fsdp', or "
+                f"'tp', got {self.param_sharding!r}"
             )
 
     # ------------------------------------------------------------------ paths

@@ -82,14 +82,19 @@ def fsdp_shardings(mesh: Mesh, tree: Any, axis: str = DATA_AXIS,
 
 
 def state_shardings(mesh: Mesh, state: Any, mode: str = "replicated") -> Any:
-    """Sharding tree for a TrainState: ``"replicated"`` (plain DP) or
-    ``"fsdp"`` (params/EMA/moments sharded on the data axis)."""
+    """Sharding tree for a TrainState: ``"replicated"`` (plain DP),
+    ``"fsdp"`` (params/EMA/moments sharded on the data axis), or ``"tp"``
+    (Megatron-style attention sharding on the model axis — parallel/tp.py)."""
     if mode == "replicated":
         return replicated(mesh)
     if mode == "fsdp":
         return fsdp_shardings(mesh, state)
+    if mode == "tp":
+        from ldm_tpu.parallel.tp import tp_shardings
+
+        return tp_shardings(mesh, state)
     raise ValueError(f"unknown param_sharding mode {mode!r} "
-                     "(expected 'replicated' or 'fsdp')")
+                     "(expected 'replicated', 'fsdp', or 'tp')")
 
 
 def place_state(mesh: Mesh, state: Any, mode: str = "replicated") -> Any:

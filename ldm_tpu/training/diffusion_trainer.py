@@ -60,6 +60,15 @@ class DiffusionTrainer:
     ):
         assert config.loss_fn == "mse", "diffusion training uses MSE (src/Trainer.py:62)"
         self.config = config
+        # Tensor parallelism shards attention heads over the mesh's model
+        # axis; the fused Pallas kernel is a custom call GSPMD cannot
+        # partition, so a model-parallel mesh forces the (head-structured)
+        # XLA attention everywhere (parallel/tp.py NOTE).
+        self._tp_active = (
+            mesh is not None and dict(mesh.shape).get("model", 1) > 1
+        )
+        if self._tp_active and getattr(model, "attention_impl", None) != "xla":
+            model = model.clone(attention_impl="xla")
         self.model = model
         # Gradient programs get their own attention impl UNCONDITIONALLY
         # (incl. explicit attention_impl="pallas" configs, ADVICE round 2):
@@ -71,7 +80,8 @@ class DiffusionTrainer:
         # keep the plain fused kernel via the model's own impl.
         self._train_model = (
             model.clone(attention_impl="auto_grads")
-            if getattr(model, "attention_impl", "auto_grads") != "auto_grads"
+            if not self._tp_active
+            and getattr(model, "attention_impl", "auto_grads") != "auto_grads"
             else model
         )
         self.diffusion = diffusion
