@@ -123,9 +123,10 @@ class Config:
     # Parameter placement on a mesh: "replicated" (plain DP), "fsdp"
     # (ZeRO-3-style — params/EMA/Adam moments sharded over the data axis,
     # all-gathered just-in-time by GSPMD; ~N x less optimizer-state HBM per
-    # chip), or "tp" (Megatron-style attention tensor parallelism over the
-    # mesh's model axis; needs create_mesh(model=k)). Single-device runs
-    # ignore it. See ldm_tpu/parallel/fsdp.py and parallel/tp.py.
+    # chip), "tp" (Megatron-style attention tensor parallelism over the
+    # mesh's model axis; needs create_mesh(model=k)), or "fsdp_tp" (2D:
+    # attention TP over model, everything else ZeRO over data). Single-device
+    # runs ignore it. See ldm_tpu/parallel/fsdp.py and parallel/tp.py.
     param_sharding: str = "replicated"
     # Cadence knobs (epochs). The reference samples a grid every 2 epochs
     # (src/DiffusionModelTrainer.py:140-143) and has no periodic full-state
@@ -163,10 +164,10 @@ class Config:
                 f"batch_size >= 1 and epochs >= 0 required, got "
                 f"batch_size={self.batch_size}, epochs={self.epochs}"
             )
-        if self.param_sharding not in ("replicated", "fsdp", "tp"):
+        if self.param_sharding not in ("replicated", "fsdp", "tp", "fsdp_tp"):
             raise ValueError(
-                f"config.param_sharding must be 'replicated', 'fsdp', or "
-                f"'tp', got {self.param_sharding!r}"
+                f"config.param_sharding must be 'replicated', 'fsdp', 'tp', "
+                f"or 'fsdp_tp', got {self.param_sharding!r}"
             )
 
     # ------------------------------------------------------------------ paths

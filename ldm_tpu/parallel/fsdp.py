@@ -93,8 +93,12 @@ def state_shardings(mesh: Mesh, state: Any, mode: str = "replicated") -> Any:
         from ldm_tpu.parallel.tp import tp_shardings
 
         return tp_shardings(mesh, state)
+    if mode == "fsdp_tp":
+        from ldm_tpu.parallel.tp import fsdp_tp_shardings
+
+        return fsdp_tp_shardings(mesh, state)
     raise ValueError(f"unknown param_sharding mode {mode!r} "
-                     "(expected 'replicated', 'fsdp', or 'tp')")
+                     "(expected 'replicated', 'fsdp', 'tp', or 'fsdp_tp')")
 
 
 def place_state(mesh: Mesh, state: Any, mode: str = "replicated") -> Any:

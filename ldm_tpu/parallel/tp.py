@@ -91,3 +91,25 @@ def tp_shardings(mesh: Mesh, tree: Any) -> Any:
         return tp_leaf_sharding(mesh, path, x)
 
     return jax.tree_util.tree_map_with_path(rule, tree)
+
+
+def fsdp_tp_shardings(mesh: Mesh, tree: Any) -> Any:
+    """2D composition: attention kernels TP-sharded over ``model``, every
+    OTHER large leaf FSDP-sharded over ``data`` (parallel/fsdp.py rule) — the
+    standard 2D recipe (ZeRO over the batch dimension of the mesh, tensor
+    parallelism within it).  A TP-sharded leaf is not additionally sharded
+    over data: its all-gather already rides the model axis, and double
+    sharding would trade one collective for two on every use."""
+    from ldm_tpu.parallel.fsdp import fsdp_leaf_sharding
+
+    def rule(path, x):
+        if hasattr(x, "dtype") and jax.numpy.issubdtype(
+            x.dtype, jax.dtypes.prng_key
+        ):
+            return replicated(mesh)
+        tp = tp_leaf_sharding(mesh, path, x)
+        if tp != replicated(mesh):
+            return tp
+        return fsdp_leaf_sharding(mesh, x)
+
+    return jax.tree_util.tree_map_with_path(rule, tree)

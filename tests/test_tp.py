@@ -74,3 +74,24 @@ def test_tp_params_are_model_sharded_and_sampling_works(tmp_path):
     assert tr.model.attention_impl == "xla"
     imgs = tr.sample(list(range(8)), cfg_scale=3.0)
     assert imgs.shape[0] == 8 and imgs.dtype == np.uint8
+
+
+@pytest.mark.slow
+def test_fsdp_tp_2d_matches_single_device(tmp_path):
+    """The 2D composition (attention TP over model, ZeRO over data for the
+    rest) must also be numerics-invariant, with both placements active."""
+    h1, t1 = _run_trainer(None, str(tmp_path / "single"))
+    h2, t2 = _run_trainer(_tp_mesh(), str(tmp_path / "2d"),
+                          param_sharding="fsdp_tp")
+    np.testing.assert_allclose(h1["train_loss"], h2["train_loss"], rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(t1.state.params),
+                    jax.tree.leaves(t2.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+    p = t2.state.params["params"]
+    assert p["LinAttnBlock_0"]["qkv_kernel"].sharding.spec == P(None, "model")
+    # a conv kernel big enough for the FSDP rule is data-sharded
+    from ldm_tpu.parallel.fsdp import MIN_SHARD_SIZE
+    convs = [v["Conv_0"]["kernel"] for k, v in p.items()
+             if k.startswith("ResNetBlock_")
+             for v in [v["Block_0"]] if v["Conv_0"]["kernel"].size >= MIN_SHARD_SIZE]
+    assert convs and any("data" in str(c.sharding.spec) for c in convs)
