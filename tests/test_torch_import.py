@@ -170,6 +170,82 @@ def test_detect_kind():
         ti.detect_kind({"foo.weight": np.zeros(1)})
 
 
+# ------------------------------------------------------------------ export
+from ldm_tpu.utils import torch_export as te  # noqa: E402
+
+
+def test_unet_export_roundtrips_reference_state_dict():
+    ref = ref_unet.UNet(in_channels=1, out_channels=1, channels=16,
+                        channel_multipliers=[1, 2], num_classes=10)
+    sd = sd_numpy(ref)
+    mapped = ti.unet_params_from_state_dict(sd, bottleneck_time_emb=True)
+    te.roundtrip_check(te.unet_state_dict_from_params(mapped), sd)
+
+
+def test_unet_export_loads_strict_and_matches_our_forward():
+    """A model trained HERE exports to a state_dict the reference loads
+    strict=True, and the torch forward equals our forward (the reference
+    ignores the zero-filled bottleneck MLPs it never calls)."""
+    ours = our_unet.UNet(in_channels=1, out_channels=1, channels=16,
+                         channel_multipliers=(1, 2), num_classes=10,
+                         bottleneck_time_emb=False)
+    params = jax.jit(ours.init)(
+        jax.random.key(7), jnp.zeros((1, 16, 16, 1)),
+        jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32),
+    )
+    sd = te.unet_state_dict_from_params(jax.tree.map(np.asarray, params))
+    ref = ref_unet.UNet(in_channels=1, out_channels=1, channels=16,
+                        channel_multipliers=[1, 2], num_classes=10).eval()
+    ref.load_state_dict({k: torch.from_numpy(np.array(v))
+                         for k, v in sd.items()}, strict=True)
+    x = rand_nchw(2, 1, 16, 16)
+    t = torch.tensor([3, 250])
+    y = torch.tensor([1, 7])
+    with torch.no_grad():
+        want = nchw_to_nhwc(t2n(ref(x, t, y)))
+    got = ours.apply(params, jnp.asarray(nchw_to_nhwc(t2n(x))),
+                     jnp.asarray(t2n(t)), jnp.asarray(t2n(y)))
+    np.testing.assert_allclose(np.asarray(got), want, atol=ATOL)
+
+
+def test_autoencoder_export_roundtrips_reference_state_dict():
+    ref = ref_ae.Autoencoder(in_channels=1, z_channels=4, out_channels=1,
+                             channels=32, channel_multipliers=[1, 2],
+                             n_resnet_blocks=1)
+    sd = sd_numpy(ref)
+    mapped = ti.autoencoder_params_from_state_dict(sd)
+    te.roundtrip_check(
+        te.autoencoder_state_dict_from_params(mapped, n_resnet_blocks=1), sd)
+
+
+def test_classifier_export_roundtrips_reference_state_dict():
+    ref = ref_rn.ResNetBase(img_channels=1, out_channels=10,
+                            n_blocks=[1, 1], n_channels=[8, 512])
+    sd = sd_numpy(ref)
+    mapped = ti.resnet_params_from_state_dict(sd)
+    te.roundtrip_check(te.resnet_state_dict_from_params(mapped), sd)
+
+
+def test_cli_export_roundtrip(tmp_path):
+    """import CLI -> export CLI -> the original reference tensors come back."""
+    from scripts.export_torch_checkpoint import main as export_main
+    from scripts.import_torch_checkpoint import main as import_main
+
+    ref = ref_unet.UNet(in_channels=1, out_channels=1, channels=8,
+                        channel_multipliers=[1, 2], num_classes=10)
+    sd = sd_numpy(ref)
+    pt = tmp_path / "ref.pt"
+    torch.save(ref.state_dict(), str(pt))
+    msgpack = tmp_path / "imported.msgpack"
+    import_main([str(pt), "configs/smoke_synthetic.yaml",
+                 "--out", str(msgpack), "--bottleneck-time-emb", "--cpu"])
+    out_pt = tmp_path / "exported.pt"
+    export_main([str(msgpack), "configs/smoke_synthetic.yaml",
+                 "--out", str(out_pt), "--cpu"])
+    back = {k: t2n(v) for k, v in torch.load(str(out_pt)).items()}
+    te.roundtrip_check(back, sd)
+
+
 def test_cli_imports_reference_pt_file(tmp_path):
     """End to end: torch.save'd reference UNet -> CLI -> our msgpack weights
     load back and drive a forward pass."""
