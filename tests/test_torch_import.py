@@ -226,6 +226,17 @@ def test_classifier_export_roundtrips_reference_state_dict():
     te.roundtrip_check(te.resnet_state_dict_from_params(mapped), sd)
 
 
+def test_export_errors_are_loud():
+    ref = ref_ae.Autoencoder(in_channels=1, z_channels=4, out_channels=1,
+                             channels=32, channel_multipliers=[1, 2],
+                             n_resnet_blocks=1)
+    mapped = ti.autoencoder_params_from_state_dict(sd_numpy(ref))
+    with pytest.raises(ValueError, match="n_resnet_blocks"):
+        te.autoencoder_state_dict_from_params(mapped, n_resnet_blocks=2)
+    with pytest.raises(ValueError, match="not a UNet"):
+        te.unet_state_dict_from_params(mapped)
+
+
 def test_cli_export_roundtrip(tmp_path):
     """import CLI -> export CLI -> the original reference tensors come back."""
     from scripts.export_torch_checkpoint import main as export_main
