@@ -66,11 +66,6 @@ class StateDict:
         """Mark a key as intentionally unused (e.g. BatchNorm bookkeeping)."""
         self._left.discard(key)
 
-    def drop_prefix(self, prefix: str) -> None:
-        for k in list(self._left):
-            if k.startswith(prefix):
-                self._left.discard(k)
-
     def finish(self) -> None:
         if self._left:
             extra = sorted(self._left)[:8]

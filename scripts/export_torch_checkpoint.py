@@ -38,53 +38,46 @@ def main(argv=None) -> str:
     args = ap.parse_args(argv)
 
     import jax
-
-    if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
-
-    import jax.numpy as jnp
     import numpy as np
     import torch
+    from flax import serialization
 
     from ldm_tpu.config import load_config
-    from ldm_tpu.factory import build_classifier, build_model
-    from ldm_tpu.training import checkpoint as ckpt
     from ldm_tpu.utils import torch_export as te
 
     config = load_config(args.config)
-    kind = args.kind
-    if kind == "auto":
-        # infer from the model the config builds
-        target = config.model.target.lower()
-        kind = ("autoencoder" if "autoencoder" in target
-                else "unet" if "unet" in target else "classifier")
-    d = config.data
-    img = jnp.zeros((1, d.image_size, d.image_size, d.image_channels),
-                    jnp.float32)
 
-    if kind == "unet":
-        model = build_model(config)
-        template = jax.eval_shape(
-            model.init, jax.random.key(0), img, jnp.zeros((1,), jnp.int32),
-            jnp.zeros((1,), jnp.int32),
-        )
-        default = ("diffusion_model_ema.msgpack" if args.ema
-                   else "diffusion_model.msgpack")
-    elif kind == "autoencoder":
-        model = build_model(config)
-        template = jax.eval_shape(
-            model.init, jax.random.key(0), img, jax.random.key(1)
-        )
-        default = "autoencoder.msgpack"
+    # default-file resolution needs a kind hint; an explicit weights path does
+    # not — the msgpack's own tree decides (no template needed: the mappers
+    # validate structure and raise loudly on a mismatch)
+    if args.weights is None:
+        kind_hint = args.kind
+        if kind_hint == "auto":
+            target = config.model.target.lower()
+            kind_hint = ("autoencoder" if "autoencoder" in target
+                         else "unet" if "unet" in target else "classifier")
+        default = {
+            "unet": ("diffusion_model_ema.msgpack" if args.ema
+                     else "diffusion_model.msgpack"),
+            "autoencoder": "autoencoder.msgpack",
+            "classifier": "classifier.msgpack",
+        }[kind_hint]
+        weights = os.path.join(config.checkpoints, default)
     else:
-        model = build_classifier(config, d.image_channels, d.num_classes)
-        template = jax.eval_shape(
-            lambda k, x: model.init(k, x, train=False), jax.random.key(0), img
-        )
-        default = "classifier.msgpack"
+        weights = args.weights
 
-    weights = args.weights or os.path.join(config.checkpoints, default)
-    variables = ckpt.load_params(weights, template)
+    with open(weights, "rb") as f:
+        variables = serialization.msgpack_restore(f.read())
+
+    if args.kind != "auto":
+        kind = args.kind
+    elif "batch_stats" in variables:
+        kind = "classifier"
+    elif "encoder" in variables.get("params", {}):
+        kind = "autoencoder"
+    else:
+        kind = "unet"
+
     variables = jax.tree.map(lambda x: np.asarray(x, np.float32)
                              if np.issubdtype(np.asarray(x).dtype, np.floating)
                              else np.asarray(x), variables)

@@ -40,10 +40,13 @@ def main(argv=None) -> str:
     ap.add_argument("--out", default=None,
                     help="output path (default: the trainer-standard name "
                          "under the config's checkpoints dir)")
-    ap.add_argument("--bottleneck-time-emb", action="store_true",
+    ap.add_argument("--bottleneck-time-emb",
+                    action=argparse.BooleanOptionalAction, default=None,
                     help="UNet only: import the reference's (untrained) "
                          "bottleneck time-MLP weights into our fixed "
-                         "bottleneck instead of dropping them")
+                         "bottleneck instead of dropping them. Default: "
+                         "follow the config model's bottleneck_time_emb, so "
+                         "the import always matches the model you build")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
@@ -71,20 +74,30 @@ def main(argv=None) -> str:
     config = load_config(args.config)
     kind = ti.detect_kind(sd) if args.kind == "auto" else args.kind
     d = config.data
-    img = jnp.zeros((1, d.image_size, d.image_size, d.image_channels),
-                    jnp.float32)
+    # channels from the model block, not the data block: a latent-space UNet's
+    # in_channels is the VAE's z_channels, not the dataset's image_channels
+    in_ch = int(config.model.params.get("in_channels", d.image_channels))
+    img = jnp.zeros((1, d.image_size, d.image_size, in_ch), jnp.float32)
 
     if kind == "unet":
         model = build_model(config)
-        mapped = ti.unet_params_from_state_dict(
-            sd, bottleneck_time_emb=args.bottleneck_time_emb
-        )
-        if getattr(model, "bottleneck_time_emb", True) != args.bottleneck_time_emb:
+        bte = args.bottleneck_time_emb
+        if bte is None:
+            bte = bool(getattr(model, "bottleneck_time_emb", True))
+        mapped = ti.unet_params_from_state_dict(sd, bottleneck_time_emb=bte)
+        if bte != getattr(model, "bottleneck_time_emb", True):
             print(
                 "note: config model has bottleneck_time_emb="
                 f"{getattr(model, 'bottleneck_time_emb', True)}; importing "
-                f"with {args.bottleneck_time_emb} — set model.params."
-                "bottleneck_time_emb accordingly for exact reference behavior"
+                f"with {bte} — set model.params.bottleneck_time_emb "
+                "accordingly for exact reference behavior"
+            )
+        elif bte:
+            print(
+                "note: the reference never trains its bottleneck time-MLPs "
+                "(src/UNet.py:287-290); importing them at their random init. "
+                "Set model.params.bottleneck_time_emb: false for exact "
+                "reference behavior"
             )
         template = jax.eval_shape(
             model.init, jax.random.key(0), img, jnp.zeros((1,), jnp.int32),
@@ -101,8 +114,11 @@ def main(argv=None) -> str:
     else:
         model = build_classifier(config, d.image_channels, d.num_classes)
         mapped = ti.resnet_params_from_state_dict(sd)
+        # the classifier always sees dataset-space images, not model-space
+        cimg = jnp.zeros((1, d.image_size, d.image_size, d.image_channels),
+                         jnp.float32)
         template = jax.eval_shape(
-            lambda k, x: model.init(k, x, train=False), jax.random.key(0), img
+            lambda k, x: model.init(k, x, train=False), jax.random.key(0), cimg
         )
         default = "classifier.msgpack"
 

@@ -226,6 +226,56 @@ def test_classifier_export_roundtrips_reference_state_dict():
     te.roundtrip_check(te.resnet_state_dict_from_params(mapped), sd)
 
 
+def test_cli_import_default_follows_model(tmp_path):
+    """No --bottleneck-time-emb flag: the import matches whatever the config's
+    model builds (our default fixed bottleneck), so the documented
+    zero-extra-steps invocation succeeds for shipped configs."""
+    from scripts.import_torch_checkpoint import main as import_main
+
+    ref = ref_unet.UNet(in_channels=1, out_channels=1, channels=8,
+                        channel_multipliers=[1, 2], num_classes=10)
+    pt = tmp_path / "ref.pt"
+    torch.save(ref.state_dict(), str(pt))
+    out = tmp_path / "imported.msgpack"
+    import_main([str(pt), "configs/smoke_synthetic.yaml",
+                 "--out", str(out), "--cpu"])
+    assert os.path.exists(out)
+
+
+def test_cli_import_latent_space_unet(tmp_path):
+    """A latent-space UNet's in_channels is the VAE's z_channels, not the
+    dataset's image_channels — the import template must follow the model."""
+    from scripts.import_torch_checkpoint import main as import_main
+
+    ref = ref_unet.UNet(in_channels=8, out_channels=8, channels=64,
+                        channel_multipliers=[1], num_classes=10)
+    pt = tmp_path / "latent_unet.pt"
+    torch.save(ref.state_dict(), str(pt))
+    out = tmp_path / "imported.msgpack"
+    import_main([str(pt), "configs/latent_diffusion_cifar10.yaml",
+                 "--out", str(out), "--cpu"])
+    assert os.path.exists(out)
+
+
+def test_cli_export_autodetects_classifier(tmp_path):
+    """kind=auto reads the msgpack tree itself (batch_stats => classifier),
+    independent of what model the config builds."""
+    from scripts.export_torch_checkpoint import main as export_main
+    from ldm_tpu.training import checkpoint as ckpt
+
+    ref = ref_rn.ResNetBase(img_channels=1, out_channels=10,
+                            n_blocks=[1, 1], n_channels=[8, 512])
+    sd = sd_numpy(ref)
+    variables = ti.resnet_params_from_state_dict(sd)
+    msgpack = tmp_path / "classifier.msgpack"
+    ckpt.save_params(str(msgpack), variables)
+    out_pt = tmp_path / "classifier.pt"
+    export_main([str(msgpack), "configs/smoke_synthetic.yaml",
+                 "--out", str(out_pt), "--cpu"])
+    back = {k: t2n(v) for k, v in torch.load(str(out_pt)).items()}
+    te.roundtrip_check(back, sd)
+
+
 def test_export_errors_are_loud():
     ref = ref_ae.Autoencoder(in_channels=1, z_channels=4, out_channels=1,
                              channels=32, channel_multipliers=[1, 2],
