@@ -244,7 +244,8 @@ class LinAttnBlock(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         from ldm_tpu.ops.linear_attention import (
-            linear_attention_block, linear_attention_block_xla, prefer_pallas,
+            linear_attention_block, linear_attention_block_xla,
+            linear_attention_block_xla_heads, prefer_pallas,
         )
 
         b, hh, ww, c = x.shape
@@ -286,6 +287,12 @@ class LinAttnBlock(nn.Module):
             y = linear_attention_block_fused_grads(
                 x.reshape(b, hh * ww, c), wqkv, wout, bout, g1s, g1b, g2s, g2b,
                 self.heads, self.dim_head, 1e-5, self.dtype)
+        elif impl == "xla_heads":
+            # explicit-heads form for tensor-parallel meshes: GSPMD keeps the
+            # per-head pipeline rank-local (see ops/linear_attention.py)
+            y = linear_attention_block_xla_heads(
+                x.reshape(b, hh * ww, c), wqkv, wout, bout, g1s, g1b, g2s, g2b,
+                **kw)
         else:
             y = linear_attention_block_xla(
                 x.reshape(b, hh * ww, c), wqkv, wout, bout, g1s, g1b, g2s, g2b,

@@ -112,8 +112,18 @@ def linear_attention_block_xla(
     var = xf32.var(axis=(1, 2), keepdims=True)
     h = ((xf32 - mean) * jax.lax.rsqrt(var + eps) * gn1_scale + gn1_bias).astype(cd)
 
-    qkv = h @ wqkv.astype(cd)
-    q, k, v = jnp.split(qkv, 3, axis=-1)
+    # Three matmuls on weight slices rather than one fused matmul + an
+    # activation split: numerically identical (each output column is the same
+    # independent contraction), but under tensor parallelism the (C, 3H)
+    # kernel's column sharding is misaligned with the q/k/v boundaries for
+    # power-of-2 model axes, and slicing the WEIGHT makes GSPMD reshard
+    # kernel-sized data instead of (B*N)-sized activations (probe27 measured
+    # the activation-split variant at 13 all-reduce + 8 all-gather + 10
+    # collective-permute per forward vs 5 attention sites).
+    w = wqkv.astype(cd)
+    q = h @ w[:, :hidden]
+    k = h @ w[:, hidden : 2 * hidden]
+    v = h @ w[:, 2 * hidden :]
 
     # --- q: per-head softmax over dim_head, entirely in the 128-lane layout.
     # The shift is the rowwise max over all lanes (constant per row => exact for
@@ -140,6 +150,64 @@ def linear_attention_block_xla(
     ctx = ctx * (seg.astype(f32) / k_sum[:, :, None])
     ctx_w = jnp.einsum("bde,ec->bdc", ctx.astype(cd), wout.astype(cd))
     out = jnp.einsum("bdc,bnd->bnc", ctx_w, q) + bout.astype(cd)
+
+    of32 = out.astype(f32)
+    mean2 = of32.mean(axis=(1, 2), keepdims=True)
+    var2 = of32.var(axis=(1, 2), keepdims=True)
+    o = (of32 - mean2) * jax.lax.rsqrt(var2 + eps) * gn2_scale + gn2_bias
+    return (x.astype(f32) + o).astype(x.dtype)
+
+
+def linear_attention_block_xla_heads(
+    x: Array,
+    wqkv: Array,
+    wout: Array,
+    bout: Array,
+    gn1_scale: Array,
+    gn1_bias: Array,
+    gn2_scale: Array,
+    gn2_bias: Array,
+    *,
+    heads: int,
+    dim_head: int,
+    eps: float = 1e-5,
+    compute_dtype: Any = jnp.float32,
+) -> Array:
+    """Per-head formulation for TENSOR-PARALLEL meshes (same math as
+    :func:`linear_attention_block_xla`, equivalence-tested).
+
+    The lane-native form above is the single-chip winner, but it encodes the
+    head structure in a (hidden, hidden) block-diagonal MASK — opaque to
+    GSPMD, which then inserts activation-sized collectives at every site when
+    the qkv/out kernels are sharded over the ``model`` axis (probe27: 13
+    all-reduce + 8 all-gather + 10 collective-permute on a 5-site forward).
+    Here every tensor carries an explicit ``heads`` axis and q/k/v come from
+    three kernel-slice matmuls, so the partitioner can keep the whole per-head
+    pipeline local to its model-rank and the only large collective left is the
+    Megatron-expected all-reduce after the row-sharded output projection.
+    Slower single-chip (the 4D fp32 softmax path the lane form was built to
+    kill) — trainers select it only when the mesh has a model axis > 1.
+    """
+    b, n, c = x.shape
+    hidden = heads * dim_head
+    cd = compute_dtype
+    f32 = jnp.float32
+    xf32 = x.astype(f32)
+    mean = xf32.mean(axis=(1, 2), keepdims=True)
+    var = xf32.var(axis=(1, 2), keepdims=True)
+    h = ((xf32 - mean) * jax.lax.rsqrt(var + eps) * gn1_scale + gn1_bias).astype(cd)
+
+    w = wqkv.astype(cd)
+    q = (h @ w[:, :hidden]).reshape(b, n, heads, dim_head)
+    k = (h @ w[:, hidden : 2 * hidden]).reshape(b, n, heads, dim_head)
+    v = (h @ w[:, 2 * hidden :]).reshape(b, n, heads, dim_head).astype(cd)
+
+    q = jax.nn.softmax(q.astype(f32), axis=-1).astype(cd) * (dim_head**-0.5)
+    k = jax.nn.softmax(k.astype(f32), axis=1).astype(cd)
+
+    ctx = jnp.einsum("bnhd,bnhe->bhde", k, v)  # (B, heads, dh, dh)
+    out = jnp.einsum("bhde,bnhd->bnhe", ctx.astype(cd), q)
+    out = out.reshape(b, n, hidden) @ wout.astype(cd) + bout.astype(cd)
 
     of32 = out.astype(f32)
     mean2 = of32.mean(axis=(1, 2), keepdims=True)

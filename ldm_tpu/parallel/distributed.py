@@ -108,10 +108,17 @@ def per_host_subset(dataset):
     host RAM / HBM (documented trade-off: zero step-path collectives vs ~1/P
     memory; at the reference's scale — CIFAR-10, 150 MB uint8 — replication
     wins).  SURVEY.md §2 parallelism plan, VERDICT round 2 weak #7.
+
+    The dataset is truncated to a multiple of the process count first:
+    ``local_to_global`` derives the GLOBAL array shape as
+    ``n_local * process_count``, so unequal per-host counts would make
+    processes disagree on global shapes (a hang in the next collective).
     """
     import numpy as np
 
-    idx = np.arange(jax.process_index(), len(dataset), jax.process_count())
+    p = jax.process_count()
+    n = len(dataset) - len(dataset) % p
+    idx = np.arange(jax.process_index(), n, p)
     return dataset.subset(idx)
 
 

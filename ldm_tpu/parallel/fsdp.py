@@ -83,8 +83,9 @@ def fsdp_shardings(mesh: Mesh, tree: Any, axis: str = DATA_AXIS,
 
 def state_shardings(mesh: Mesh, state: Any, mode: str = "replicated") -> Any:
     """Sharding tree for a TrainState: ``"replicated"`` (plain DP),
-    ``"fsdp"`` (params/EMA/moments sharded on the data axis), or ``"tp"``
-    (Megatron-style attention sharding on the model axis — parallel/tp.py)."""
+    ``"fsdp"`` (params/EMA/moments sharded on the data axis), ``"tp"``
+    (Megatron-style attention sharding on the model axis — parallel/tp.py),
+    or ``"fsdp_tp"`` (the 2D composition of the last two)."""
     if mode == "replicated":
         return replicated(mesh)
     if mode == "fsdp":
@@ -94,6 +95,7 @@ def state_shardings(mesh: Mesh, state: Any, mode: str = "replicated") -> Any:
 
         return tp_shardings(mesh, state)
     if mode == "fsdp_tp":
+        # 2D: attention TP over ``model``, ZeRO over ``data`` for the rest
         from ldm_tpu.parallel.tp import fsdp_tp_shardings
 
         return fsdp_tp_shardings(mesh, state)

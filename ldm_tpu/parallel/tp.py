@@ -21,9 +21,15 @@ parameter shardings. Combine with ``data`` for 2D (batch, heads) meshes via
 ``create_mesh(model=k)``.
 
 NOTE: the fused Pallas attention kernel is a custom call GSPMD cannot
-partition over heads — trainers force ``attention_impl="xla"`` when the mesh
-has a model axis > 1 (the XLA path is head-structured, so propagation is
-clean). Single-axis (pure DP/FSDP) meshes keep the Pallas default.
+partition over heads, and the lane-native XLA form hides the head structure
+in a (hidden, hidden) block-diagonal mask — measured on a (data=4, model=2)
+CPU mesh it costs 31 collectives / 400.8 KiB per tiny-UNet forward
+(perf/probe27.json). Trainers therefore force
+``attention_impl="xla_heads"`` when the mesh has a model axis > 1: the
+explicit-heads form keeps each rank's per-head pipeline local, leaving
+exactly ONE activation all-reduce per attention site (5/5 measured) plus
+kernel-slice-sized permutes — 15 collectives / 59.5 KiB on the same
+forward. Single-axis (pure DP/FSDP) meshes keep the Pallas default.
 """
 
 from __future__ import annotations
@@ -67,14 +73,14 @@ def tp_leaf_sharding(mesh: Mesh, path, x) -> NamedSharding:
     in_attention = any(s.startswith("Attention_") for s in names)
     leaf = names[-1]
     dense = names[-2] if len(names) >= 2 else ""
-    if leaf == "qkv_kernel" or (in_attention and dense == "Dense_0"):
-        if shape[-1] % n == 0:
-            return NamedSharding(mesh, P(*([None] * (len(shape) - 1)),
-                                         MODEL_AXIS))
-    if leaf == "out_kernel" or (in_attention and dense == "Dense_1"):
-        if shape[0] % n == 0:
-            return NamedSharding(mesh, P(MODEL_AXIS,
-                                         *([None] * (len(shape) - 1))))
+    is_qkv = leaf == _QKV_KEYS[0] or (in_attention and dense == _QKV_KEYS[1])
+    is_proj = leaf == _PROJ_KEYS[0] or (in_attention and dense == _PROJ_KEYS[1])
+    if is_qkv and shape[-1] % n == 0:
+        return NamedSharding(mesh, P(*([None] * (len(shape) - 1)),
+                                     MODEL_AXIS))
+    if is_proj and shape[0] % n == 0:
+        return NamedSharding(mesh, P(MODEL_AXIS,
+                                     *([None] * (len(shape) - 1))))
     return replicated(mesh)
 
 

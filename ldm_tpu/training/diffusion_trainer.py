@@ -62,13 +62,16 @@ class DiffusionTrainer:
         self.config = config
         # Tensor parallelism shards attention heads over the mesh's model
         # axis; the fused Pallas kernel is a custom call GSPMD cannot
-        # partition, so a model-parallel mesh forces the (head-structured)
-        # XLA attention everywhere (parallel/tp.py NOTE).
+        # partition, and the lane-native XLA form hides the head structure in
+        # a block-diagonal mask (probe27: activation-sized collectives at
+        # every site), so a model-parallel mesh forces the EXPLICIT-heads XLA
+        # attention everywhere (parallel/tp.py NOTE; ops/linear_attention.py
+        # linear_attention_block_xla_heads).
         self._tp_active = (
             mesh is not None and dict(mesh.shape).get("model", 1) > 1
         )
-        if self._tp_active and getattr(model, "attention_impl", None) != "xla":
-            model = model.clone(attention_impl="xla")
+        if self._tp_active and getattr(model, "attention_impl", None) != "xla_heads":
+            model = model.clone(attention_impl="xla_heads")
         self.model = model
         # Gradient programs get their own attention impl UNCONDITIONALLY
         # (incl. explicit attention_impl="pallas" configs, ADVICE round 2):

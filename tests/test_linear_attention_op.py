@@ -10,6 +10,7 @@ from ldm_tpu.ops.linear_attention import (
     linear_attention_block,
     linear_attention_block_pallas,
     linear_attention_block_xla,
+    linear_attention_block_xla_heads,
 )
 
 HEADS, DIM_HEAD = 4, 32
@@ -36,6 +37,33 @@ def test_pallas_interpret_matches_xla():
         *args, heads=HEADS, dim_head=DIM_HEAD, interpret=True
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+@pytest.mark.parametrize("b,n,c", [(2, 64, 16), (3, 32, 64), (2, 16, 128)])
+def test_xla_heads_matches_xla(b, n, c):
+    """The explicit-heads TP form (trainers force it on model-parallel
+    meshes, probe27) is the same math as the lane-native form, fwd AND grads."""
+    args = make_inputs(b=b, n=n, c=c, seed=5)
+    want = linear_attention_block_xla(*args, heads=HEADS, dim_head=DIM_HEAD)
+    got = linear_attention_block_xla_heads(*args, heads=HEADS, dim_head=DIM_HEAD)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    def loss_lane(a):
+        return jnp.sum(
+            linear_attention_block_xla(*a, heads=HEADS, dim_head=DIM_HEAD) ** 2
+        )
+
+    def loss_heads(a):
+        return jnp.sum(
+            linear_attention_block_xla_heads(
+                *a, heads=HEADS, dim_head=DIM_HEAD) ** 2
+        )
+
+    g_lane = jax.grad(loss_lane)(args)
+    g_heads = jax.grad(loss_heads)(args)
+    for gl, gh in zip(g_lane, g_heads):
+        np.testing.assert_allclose(np.asarray(gh), np.asarray(gl),
+                                   rtol=1e-4, atol=1e-5)
 
 
 @pytest.mark.parametrize("g", [1, 2, 4, 8])

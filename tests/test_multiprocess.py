@@ -25,6 +25,35 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+def test_per_host_subset_equalizes_counts(monkeypatch):
+    """Non-divisible dataset sizes must yield EQUAL per-host counts:
+    local_to_global derives the global shape as n_local * process_count, so
+    unequal counts would make processes disagree on global array shapes
+    (round-3 review finding)."""
+    import jax
+    import numpy as np
+
+    from ldm_tpu.data.datasets import synthetic_dataset
+    from ldm_tpu.parallel import distributed
+
+    ds = synthetic_dataset(101, 8, 1)  # 101 % 2 == 1
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    counts = []
+    for p in range(2):
+        monkeypatch.setattr(jax, "process_index", lambda p=p: p)
+        sub = distributed.per_host_subset(ds)
+        counts.append(len(sub))
+    assert counts == [50, 50]
+    # the two shards are disjoint and together cover the truncated prefix
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    a = distributed.per_host_subset(ds)
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    b = distributed.per_host_subset(ds)
+    merged = np.empty((100,) + ds.images.shape[1:], ds.images.dtype)
+    merged[0::2], merged[1::2] = a.images, b.images
+    np.testing.assert_array_equal(merged, ds.images[:100])
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("n_proc", [2, 4])
 def test_multi_process_dp_training(tmp_path, n_proc):

@@ -71,7 +71,7 @@ def test_tp_params_are_model_sharded_and_sampling_works(tmp_path):
     assert shard.shape[-1] * 2 == qkv.shape[-1]
     # the trainer forced the XLA attention path (Pallas custom calls can't be
     # head-partitioned by GSPMD)
-    assert tr.model.attention_impl == "xla"
+    assert tr.model.attention_impl == "xla_heads"
     imgs = tr.sample(list(range(8)), cfg_scale=3.0)
     assert imgs.shape[0] == 8 and imgs.dtype == np.uint8
 
