@@ -103,11 +103,29 @@ def state_shardings(mesh: Mesh, state: Any, mode: str = "replicated") -> Any:
                      "(expected 'replicated', 'fsdp', 'tp', or 'fsdp_tp')")
 
 
+def put_global(tree: Any, shardings: Any) -> Any:
+    """Place a host (or local-device) tree onto a global sharding tree.
+
+    ``jax.device_put`` covers single-process meshes; on a multi-host mesh the
+    target shardings are not fully addressable and device_put rejects them,
+    so placement runs through an identity jit with ``out_shardings`` instead:
+    every process passes the identical host value (checkpoint restores are
+    bitwise-identical across processes) and keeps only its own shards.  The
+    jit path also handles typed PRNG-key leaves, which
+    ``make_array_from_callback`` cannot.
+    """
+    flat = [s for s in jax.tree.leaves(shardings)
+            if isinstance(s, jax.sharding.Sharding)]
+    if all(s.is_fully_addressable for s in flat):
+        return jax.device_put(tree, shardings)
+    return jax.jit(lambda t: t, out_shardings=shardings)(tree)
+
+
 def place_state(mesh: Mesh, state: Any, mode: str = "replicated") -> Any:
     """Put a (host or single-device) TrainState onto the mesh under ``mode``'s
     sharding — the one explicit transfer; every jitted program thereafter
     declares the same tree in its ``in_shardings``."""
-    return jax.device_put(state, state_shardings(mesh, state, mode))
+    return put_global(state, state_shardings(mesh, state, mode))
 
 
 def sharded_bytes_per_device(tree: Any) -> int:

@@ -7,8 +7,11 @@ optimizer state, EMA params, step, PRNG key, batch_stats), written atomically
 (temp file + rename) so a crash mid-write can't corrupt the latest checkpoint
 (SURVEY.md §5, failure-detection row).
 
-Serialization is flax msgpack (version-stable, host-RAM sized states); the arrays
-are device_get'ed, so replicated sharded states save fine.
+Serialization is flax msgpack (version-stable, host-RAM sized states).
+Replicated and single-process-sharded leaves device_get directly; leaves whose
+shards live on OTHER processes' devices (multi-host FSDP/TP state,
+parallel/fsdp.py) are assembled with a process_allgather first — a COLLECTIVE,
+so every process must call save_* even though only process 0 writes.
 """
 
 from __future__ import annotations
@@ -34,6 +37,28 @@ def _state_dict(state: TrainState) -> dict:
     }
 
 
+def _host_tree(tree: Any) -> Any:
+    """Fetch a (possibly multi-host-sharded) tree to host values.
+
+    ``to_bytes``'s implicit device_get handles fully-addressable arrays and
+    fully-replicated global arrays; a leaf that is NEITHER (its shards span
+    other processes — e.g. ZeRO-sharded Adam moments on a 2-host mesh) would
+    raise, so it is gathered with ``process_allgather``. That gather is a
+    collective: it runs on every process, BEFORE any process-0 write gate.
+    """
+
+    def leaf(x):
+        if isinstance(x, jax.Array) and not (
+            x.is_fully_addressable or x.sharding.is_fully_replicated
+        ):
+            from jax.experimental import multihost_utils
+
+            return multihost_utils.process_allgather(x, tiled=True)
+        return x
+
+    return jax.tree_util.tree_map(leaf, tree)
+
+
 def _atomic_write(path: str, data: bytes) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     tmp = path + ".tmp"
@@ -43,11 +68,13 @@ def _atomic_write(path: str, data: bytes) -> None:
 
 
 def save_state(path: str, state: TrainState) -> str:
-    """Multi-host: the state is replicated, so only process 0 writes — N hosts
-    racing on one shared filesystem path would corrupt/duplicate checkpoints."""
+    """Multi-host: only process 0 writes — N hosts racing on one shared
+    filesystem path would corrupt/duplicate checkpoints.  Cross-process-sharded
+    leaves are all-gathered first (collective — all processes participate)."""
+    d = _host_tree(_state_dict(state))
     if jax.process_index() != 0:
         return path
-    _atomic_write(path, serialization.to_bytes(_state_dict(state)))
+    _atomic_write(path, serialization.to_bytes(d))
     return path
 
 
@@ -66,11 +93,12 @@ def restore_state(path: str, template: TrainState) -> TrainState:
 
 def save_params(path: str, params: Any) -> str:
     """Weights-only save — parity with the reference's ``torch.save(state_dict)``
-    (src/EarlyStopping.py:63) for generate_images-style reload.  Process-0 only,
-    like save_state."""
+    (src/EarlyStopping.py:63) for generate_images-style reload.  Process-0 only
+    writes, like save_state; cross-process-sharded leaves all-gathered first."""
+    p = _host_tree(params)
     if jax.process_index() != 0:
         return path
-    _atomic_write(path, serialization.to_bytes(params))
+    _atomic_write(path, serialization.to_bytes(p))
     return path
 
 

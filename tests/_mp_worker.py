@@ -7,6 +7,12 @@ an explicit DP-vs-local-loss parity check, then prints machine-readable results
 for the parent to compare across processes.
 
 Usage: python _mp_worker.py <coordinator> <num_processes> <process_id> <workdir>
+       [param_sharding]
+
+With ``param_sharding=fsdp`` the state is ZeRO-sharded ACROSS the two
+processes, so checkpoint writes exercise the collective process_allgather
+path in training/checkpoint.py (leaves are not fully addressable from any
+single process).
 """
 
 import os
@@ -15,6 +21,7 @@ import sys
 coordinator, num_processes, process_id, workdir = (
     sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
 )
+param_sharding = sys.argv[5] if len(sys.argv) > 5 else "replicated"
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
@@ -52,7 +59,7 @@ assert mesh.devices.size == 2 * num_processes
 
 cfg = Config(
     project_name="mp", workdir=workdir, epochs=1, batch_size=8,
-    use_amp=False, seed=0, sample_every=0,
+    use_amp=False, seed=0, sample_every=0, param_sharding=param_sharding,
     model=ModelConfig(params=dict(
         in_channels=1, out_channels=1, channels=8,
         channel_multipliers=[1], num_classes=10,
@@ -78,26 +85,27 @@ dp_loss = float(tr._eval_step(tr.state, shard_batch(mesh, batch))["loss"])
 
 import jax.numpy as jnp  # noqa: E402
 
-local_state = jax.device_get(tr.state)
+if param_sharding == "replicated":
+    # device_get of a cross-process-sharded state is impossible by design;
+    # the fsdp run checks numerics via the checkpoint roundtrip below instead.
+    local_state = jax.device_get(tr.state)
 
+    def local_eval(params, key, image, label):
+        eps, xt, t = tr.diffusion.noise_batch(key, image)
+        eps_theta = tr.model.apply(params, xt, t, label)
+        # mirror _eval_step's cfg path with cfg=3.0
+        null = tr.model.num_classes
+        eps_u = tr.model.apply(params, xt, t, jnp.full_like(label, null))
+        eps_theta = eps_u + 3.0 * (eps_theta - eps_u)
+        return jnp.mean((eps.astype(jnp.float32) - eps_theta) ** 2)
 
-def local_eval(params, key, image, label):
-    eps, xt, t = tr.diffusion.noise_batch(key, image)
-    eps_theta = tr.model.apply(params, xt, t, label)
-    # mirror _eval_step's cfg path with cfg=3.0
-    null = tr.model.num_classes
-    eps_u = tr.model.apply(params, xt, t, jnp.full_like(label, null))
-    eps_theta = eps_u + 3.0 * (eps_theta - eps_u)
-    return jnp.mean((eps.astype(jnp.float32) - eps_theta) ** 2)
-
-
-key = jax.random.fold_in(jax.random.fold_in(tr.state.key, 0x5EED), 0)
-k_noise, _ = jax.random.split(key)
-ref_loss = float(jax.jit(local_eval)(
-    local_state.params, k_noise, jnp.asarray(batch["image"]),
-    jnp.asarray(batch["label"]),
-))
-assert abs(dp_loss - ref_loss) < 1e-5, (dp_loss, ref_loss)
+    key = jax.random.fold_in(jax.random.fold_in(tr.state.key, 0x5EED), 0)
+    k_noise, _ = jax.random.split(key)
+    ref_loss = float(jax.jit(local_eval)(
+        local_state.params, k_noise, jnp.asarray(batch["image"]),
+        jnp.asarray(batch["label"]),
+    ))
+    assert abs(dp_loss - ref_loss) < 1e-5, (dp_loss, ref_loss)
 
 # Per-host sharded data feed (VERDICT r2 item 8): each process holds ONLY its
 # p::P subset and supplies its contiguous row block of the global batch via
@@ -130,9 +138,44 @@ ph_loss = float(tr._eval_step(tr.state, g)["loss"])
 assert np.isfinite(ph_loss)
 
 # One full epoch through the real trainer (scan-epoch fast path + per-batch val
-# + process-0-only checkpoints/metrics).
+# + process-0-only checkpoints/metrics).  Under fsdp the end-of-train
+# save_latest already exercised the collective process_allgather in
+# checkpoint.save_state (leaves span both processes).
 hist = tr.train()
+
+extra = ""
+if param_sharding == "fsdp":
+    from jax.experimental import multihost_utils
+
+    leaves = jax.tree.leaves(tr.state.params)
+    # the check is only meaningful if some leaf really spans both processes
+    assert any(not x.is_fully_addressable for x in leaves), (
+        "fsdp state unexpectedly fully addressable — gather path untested"
+    )
+
+    def gathered(tree):
+        return [
+            np.asarray(multihost_utils.process_allgather(x, tiled=True))
+            if not (x.is_fully_addressable or x.sharding.is_fully_replicated)
+            else np.asarray(x)
+            for x in jax.tree.leaves(tree)
+        ]
+
+    before = gathered(tr.state.params)
+    # process 0 wrote state.msgpack at train end; barrier so process 1 can't
+    # read a half-written file
+    multihost_utils.sync_global_devices("ckpt_written")
+    path = os.path.join(workdir, "pixel", "mp", "checkpoints", "state.msgpack")
+    assert os.path.exists(path), path
+    tr.load_state(path)
+    # restored state is re-sharded (not replicated) and bitwise-identical
+    assert any(not x.is_fully_addressable
+               for x in jax.tree.leaves(tr.state.params))
+    for a, b in zip(before, gathered(tr.state.params)):
+        np.testing.assert_array_equal(a, b)
+    extra = f" pdigest={sum(float(np.abs(a).sum()) for a in before):.6f}"
 
 print(f"MPRESULT {process_id} train={hist['train_loss'][0]:.8f} "
       f"val={hist['val_loss'][0]:.8f} dp_eval={dp_loss:.8f} "
-      f"perhost_eval={ph_loss:.8f} step={int(tr.state.step)}", flush=True)
+      f"perhost_eval={ph_loss:.8f} step={int(tr.state.step)}{extra}",
+      flush=True)

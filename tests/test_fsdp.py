@@ -58,7 +58,8 @@ def test_state_shardings_modes():
         state_shardings(mesh, state, "bogus")
 
 
-def _run_trainer(mesh, workdir, param_sharding="replicated"):
+def _run_trainer(mesh, workdir, param_sharding="replicated",
+                 activation_sharding="batch"):
     from ldm_tpu.config import Config, DataConfig, DiffusionConfig, ModelConfig
     from ldm_tpu.data.datasets import synthetic_dataset
     from ldm_tpu.data.loader import DataLoader
@@ -69,6 +70,7 @@ def _run_trainer(mesh, workdir, param_sharding="replicated"):
         project_name="fsdp", workdir=workdir, epochs=2, batch_size=16,
         use_amp=False, seed=3, sample_every=0,
         param_sharding=param_sharding,
+        activation_sharding=activation_sharding,
         # channels=32 so real leaves cross MIN_SHARD_SIZE (3x3x32x32 conv
         # kernels = 9216 elements) — FSDP parity on an all-replicated tree
         # would be vacuous
@@ -125,3 +127,19 @@ def test_fsdp_shards_optimizer_state_and_samples(tmp_path):
         )
     imgs = tr.sample(list(range(8)), cfg_scale=3.0)
     assert imgs.shape[0] == 8 and imgs.dtype == np.uint8
+
+    # Checkpoint roundtrip straight off the sharded state: save gathers to
+    # host, load_state re-shards per _state_sh — values bitwise-identical and
+    # the restored state drives the jitted eval step unchanged.
+    before = [np.asarray(x) for x in jax.tree.leaves(tr.state.params)]
+    tr.save_latest()
+    tr.state = tr.state.replace(
+        params=jax.tree.map(lambda x: x * 0, tr.state.params)
+    )
+    assert tr.resume_latest()
+    after = jax.tree.leaves(tr.state.params)
+    assert any(not a.sharding.is_fully_replicated for a in after), (
+        "restored params lost their fsdp sharding"
+    )
+    for a, b in zip(before, after):
+        np.testing.assert_array_equal(a, np.asarray(b))

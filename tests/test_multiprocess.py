@@ -55,8 +55,14 @@ def test_per_host_subset_equalizes_counts(monkeypatch):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("n_proc", [2, 4])
-def test_multi_process_dp_training(tmp_path, n_proc):
+@pytest.mark.parametrize("n_proc,param_sharding", [
+    (2, "replicated"), (4, "replicated"),
+    # fsdp across processes: state leaves span BOTH hosts, so the trainer's
+    # checkpoint writes exercise the collective process_allgather save path
+    # and load_state's re-sharding (training/checkpoint.py)
+    (2, "fsdp"),
+])
+def test_multi_process_dp_training(tmp_path, n_proc, param_sharding):
     """2x2 and 4x2: N jax.distributed processes, 2 virtual CPU devices each
     (VERDICT round 2 item 8 asked for the 4-process extension)."""
     port = _free_port()
@@ -66,7 +72,7 @@ def test_multi_process_dp_training(tmp_path, n_proc):
     procs = [
         subprocess.Popen(
             [sys.executable, worker, f"127.0.0.1:{port}", str(n_proc), str(i),
-             str(tmp_path)],
+             str(tmp_path), param_sharding],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
         )
         for i in range(n_proc)
