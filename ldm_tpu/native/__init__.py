@@ -1,0 +1,171 @@
+"""ctypes bindings for the native host-side data pipeline (batcher.cpp).
+
+Surface:
+* ``available()`` — True iff the .so built/loaded (g++ toolchain present and
+  ``LDM_TPU_NO_NATIVE`` unset).
+* ``gather_affine(images_u8, idx, div, mul, add)`` — fused gather + affine
+  normalize, bitwise-equal to ``(images[idx].astype(f32)/div)*mul+add``.
+* ``gather_labels(labels_i32, idx)`` — label gather.
+* ``Prefetcher`` — a C++ worker thread assembling the NEXT batch while the
+  caller blocks on device dispatch (ctypes releases the GIL for the whole
+  call, so the overlap is real even on the 1-core host — dispatch over the
+  axon tunnel is IO wait).
+
+Everything degrades gracefully: when the library is unavailable the callers
+(data/loader.py) keep their pure-numpy path, behavior-identical.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional
+
+import numpy as np
+
+_lib = None
+_lib_tried = False
+
+
+def _load():
+    global _lib, _lib_tried
+    if _lib_tried:
+        return _lib
+    _lib_tried = True
+    if os.environ.get("LDM_TPU_NO_NATIVE") == "1":
+        return None
+    from ldm_tpu.native.build import lib_path
+
+    path = lib_path()
+    if path is None:
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        return None
+    i64, f32, i32, u8 = (
+        ctypes.c_int64,
+        ctypes.c_float,
+        ctypes.c_int32,
+        ctypes.c_uint8,
+    )
+    pf = ctypes.POINTER
+    lib.ldm_gather_affine_u8.argtypes = [
+        pf(u8), i64, pf(i64), i64, f32, f32, f32, pf(f32)
+    ]
+    lib.ldm_gather_affine_u8.restype = None
+    lib.ldm_gather_i32.argtypes = [pf(i32), pf(i64), i64, pf(i32)]
+    lib.ldm_gather_i32.restype = None
+    lib.ldm_prefetcher_create.argtypes = [
+        pf(u8), pf(i32), i64, i64, f32, f32, f32, ctypes.c_int
+    ]
+    lib.ldm_prefetcher_create.restype = ctypes.c_void_p
+    lib.ldm_prefetcher_start_epoch.argtypes = [ctypes.c_void_p, pf(i64), i64]
+    lib.ldm_prefetcher_start_epoch.restype = None
+    lib.ldm_prefetcher_next.argtypes = [ctypes.c_void_p, pf(f32), pf(i32)]
+    lib.ldm_prefetcher_next.restype = ctypes.c_int
+    lib.ldm_prefetcher_destroy.argtypes = [ctypes.c_void_p]
+    lib.ldm_prefetcher_destroy.restype = None
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _ptr(a: np.ndarray, ct):
+    return a.ctypes.data_as(ctypes.POINTER(ct))
+
+
+def gather_affine(
+    images: np.ndarray, idx: np.ndarray, div: float, mul: float, add: float
+) -> np.ndarray:
+    """images: uint8 (N, ...) C-contiguous; idx: any int array."""
+    lib = _load()
+    assert lib is not None
+    assert images.dtype == np.uint8 and images.flags.c_contiguous
+    idx = np.ascontiguousarray(idx, dtype=np.int64)
+    item = int(np.prod(images.shape[1:], dtype=np.int64))
+    out = np.empty((len(idx),) + images.shape[1:], np.float32)
+    lib.ldm_gather_affine_u8(
+        _ptr(images, ctypes.c_uint8), item, _ptr(idx, ctypes.c_int64),
+        len(idx), div, mul, add, _ptr(out, ctypes.c_float),
+    )
+    return out
+
+
+def gather_labels(labels: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    lib = _load()
+    assert lib is not None
+    labels = np.ascontiguousarray(labels, dtype=np.int32)
+    idx = np.ascontiguousarray(idx, dtype=np.int64)
+    out = np.empty(len(idx), np.int32)
+    lib.ldm_gather_i32(
+        _ptr(labels, ctypes.c_int32), _ptr(idx, ctypes.c_int64), len(idx),
+        _ptr(out, ctypes.c_int32),
+    )
+    return out
+
+
+class Prefetcher:
+    """Threaded batch assembly over an in-memory uint8 dataset.
+
+    Per epoch: ``start_epoch(order)`` with a flat index array (len a multiple
+    of ``batch_size``), then ``next_batch()`` until it returns None.  Batches
+    come out in order — identical content to the synchronous gather.
+    """
+
+    def __init__(
+        self,
+        images: np.ndarray,
+        labels: np.ndarray,
+        batch_size: int,
+        div: float = 255.0,
+        mul: float = 2.0,
+        add: float = -1.0,
+        capacity: int = 2,
+    ):
+        lib = _load()
+        assert lib is not None
+        assert images.dtype == np.uint8 and images.flags.c_contiguous
+        # keep references: the C++ side reads these buffers from its thread
+        self._images = images
+        self._labels = np.ascontiguousarray(labels, dtype=np.int32)
+        self._shape = images.shape[1:]
+        self._batch = batch_size
+        self._lib = lib
+        self._h = lib.ldm_prefetcher_create(
+            _ptr(images, ctypes.c_uint8),
+            _ptr(self._labels, ctypes.c_int32),
+            int(np.prod(self._shape, dtype=np.int64)), batch_size,
+            div, mul, add, capacity,
+        )
+
+    def start_epoch(self, order: np.ndarray) -> None:
+        order = np.ascontiguousarray(order, dtype=np.int64)
+        n = (len(order) // self._batch) * self._batch
+        self._lib.ldm_prefetcher_start_epoch(
+            self._h, _ptr(order, ctypes.c_int64), n
+        )
+
+    def next_batch(self) -> Optional[dict]:
+        img = np.empty((self._batch,) + self._shape, np.float32)
+        lbl = np.empty(self._batch, np.int32)
+        ok = self._lib.ldm_prefetcher_next(
+            self._h, _ptr(img, ctypes.c_float), _ptr(lbl, ctypes.c_int32)
+        )
+        if not ok:
+            return None
+        return {"image": img, "label": lbl}
+
+    def close(self) -> None:
+        if self._h is not None:
+            self._lib.ldm_prefetcher_destroy(self._h)
+            self._h = None
+
+    def __del__(self):  # pragma: no cover - GC safety net
+        try:
+            self.close()
+        except Exception:
+            pass

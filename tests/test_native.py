@@ -1,0 +1,123 @@
+"""Native C++ data-pipeline tests (ldm_tpu/native).
+
+Contract: the fused gather+normalize is BITWISE equal to the numpy
+expression it replaces, the prefetch ring yields the identical batch stream
+as the synchronous loader, and everything degrades to pure numpy when the
+library is unavailable.
+"""
+
+import numpy as np
+import pytest
+
+from ldm_tpu import native
+from ldm_tpu.data.datasets import Dataset
+from ldm_tpu.data.loader import DataLoader
+from ldm_tpu.data.transforms import scale_to_minus_one_one, scale_to_zero_one
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native lib unavailable (no g++?)"
+)
+
+
+def _dataset(n=50, h=8, c=3, seed=0):
+    rng = np.random.default_rng(seed)
+    return Dataset(
+        images=rng.integers(0, 256, (n, h, h, c), dtype=np.uint8),
+        labels=rng.integers(0, 10, (n,)).astype(np.int32),
+        classes=list(range(10)),
+        name="t",
+    )
+
+
+def test_gather_affine_bitwise_matches_numpy():
+    ds = _dataset()
+    idx = np.array([3, 0, 49, 7, 7], np.int64)
+    for tf, aff in [
+        (scale_to_minus_one_one, (255.0, 2.0, -1.0)),
+        (scale_to_zero_one, (255.0, 1.0, 0.0)),
+    ]:
+        got = native.gather_affine(ds.images, idx, *aff)
+        want = tf(ds.images[idx])
+        assert got.dtype == want.dtype == np.float32
+        np.testing.assert_array_equal(got, want)  # bitwise, not allclose
+
+
+def test_gather_labels_matches_numpy():
+    ds = _dataset()
+    idx = np.array([5, 5, 1, 0], np.int64)
+    np.testing.assert_array_equal(
+        native.gather_labels(ds.labels, idx), ds.labels[idx]
+    )
+
+
+def test_prefetcher_yields_ordered_identical_batches():
+    ds = _dataset(n=64)
+    pf = native.Prefetcher(ds.images, ds.labels, batch_size=16, capacity=3)
+    try:
+        for epoch_seed in (1, 2):  # two epochs through the SAME ring
+            order = np.random.default_rng(epoch_seed).permutation(64)
+            pf.start_epoch(order)
+            got = []
+            while (b := pf.next_batch()) is not None:
+                got.append(b)
+            assert len(got) == 4
+            for i, b in enumerate(got):
+                idx = order[i * 16 : (i + 1) * 16]
+                np.testing.assert_array_equal(
+                    b["image"], scale_to_minus_one_one(ds.images[idx])
+                )
+                np.testing.assert_array_equal(b["label"], ds.labels[idx])
+    finally:
+        pf.close()
+
+
+def test_loader_native_and_numpy_paths_identical():
+    """DataLoader(prefetch=2) == DataLoader(prefetch=0) == pure-numpy
+    fallback, batch for batch — including the non-drop_last tail batch the
+    ring can't serve."""
+    ds = _dataset(n=53)
+
+    def stream(prefetch, force_numpy=False):
+        dl = DataLoader(ds, 16, shuffle=True, seed=9, drop_last=False,
+                        prefetch=prefetch)
+        if force_numpy:
+            dl._native_affine = lambda: None  # simulate missing library
+        return list(dl)
+
+    a, b, c = stream(2), stream(0), stream(0, force_numpy=True)
+    assert len(a) == len(b) == len(c) == 4
+    assert a[-1]["image"].shape[0] == 53 - 3 * 16  # tail batch preserved
+    for x, y, z in zip(a, b, c):
+        np.testing.assert_array_equal(x["image"], y["image"])
+        np.testing.assert_array_equal(x["image"], z["image"])
+        np.testing.assert_array_equal(x["label"], y["label"])
+        np.testing.assert_array_equal(x["label"], z["label"])
+
+
+def test_prefetch_loader_rebuilds_ring_on_dataset_swap():
+    """set_train_data-style dataset replacement must not serve stale data —
+    the C++ ring holds raw pointers into the previous arrays."""
+    ds1, ds2 = _dataset(n=32, seed=1), _dataset(n=32, seed=2)
+    dl = DataLoader(ds1, 8, shuffle=False, seed=0, prefetch=2)
+    b1 = next(iter(dl))
+    ring1 = dl._prefetcher
+    dl.dataset = ds2
+    b2 = next(iter(dl))
+    assert dl._prefetcher is not ring1
+    np.testing.assert_array_equal(
+        b2["image"], scale_to_minus_one_one(ds2.images[:8])
+    )
+    assert not np.array_equal(b1["image"], b2["image"])
+
+
+def test_prefetch_loader_reuses_ring_across_epochs():
+    ds = _dataset(n=32)
+    dl = DataLoader(ds, 8, shuffle=True, seed=4, prefetch=2)
+    e1, e2 = list(dl), list(dl)
+    assert dl._prefetcher is not None
+    ring = dl._prefetcher
+    assert list(dl) and dl._prefetcher is ring  # one ring, many epochs
+    # different epochs shuffle differently (the rng stream advances)
+    assert not np.array_equal(e1[0]["label"], e2[0]["label"]) or not (
+        np.array_equal(e1[0]["image"], e2[0]["image"])
+    )
