@@ -47,6 +47,10 @@ class DataConfig:
     # converges to F1=1.0) or "hard" (overlapping class manifolds — the
     # protocol's quality metrics can actually fail; datasets.py).
     synthetic_variant: str = "easy"
+    # >0: assemble batches on the native C++ prefetch ring, this many slots
+    # deep (ldm_tpu/native) — the torch DataLoader ``num_workers`` analog.
+    # Silently synchronous when the native lib is unavailable.
+    prefetch_batches: int = 0
 
 
 @dataclasses.dataclass
@@ -128,6 +132,13 @@ class Config:
     # attention TP over model, everything else ZeRO over data). Single-device
     # runs ignore it. See ldm_tpu/parallel/fsdp.py and parallel/tp.py.
     param_sharding: str = "replicated"
+    # Activation placement: "batch" (default — each device holds full
+    # per-image activations) or "spatial" (SP: H sharded over the mesh's
+    # model axis with GSPMD halo exchange — for SAMPLING at resolutions
+    # where one image's activations outgrow a chip; forward-only by
+    # measurement, trainers refuse it — see ldm_tpu/parallel/sp.py and
+    # perf/probe28_RESULTS.md).
+    activation_sharding: str = "batch"
     # Cadence knobs (epochs). The reference samples a grid every 2 epochs
     # (src/DiffusionModelTrainer.py:140-143) and has no periodic full-state
     # checkpoint at all; full-state writes are ~4x model size and cross the
@@ -168,6 +179,11 @@ class Config:
             raise ValueError(
                 f"config.param_sharding must be 'replicated', 'fsdp', 'tp', "
                 f"or 'fsdp_tp', got {self.param_sharding!r}"
+            )
+        if self.activation_sharding not in ("batch", "spatial"):
+            raise ValueError(
+                f"config.activation_sharding must be 'batch' or 'spatial', "
+                f"got {self.activation_sharding!r}"
             )
 
     # ------------------------------------------------------------------ paths

@@ -239,10 +239,9 @@ def run_augmentation_experiment(
         # reference's load_model path, src/utils.py:36-45; main.py keeps
         # commented-out reload blocks) — e.g. to re-run the classifier
         # protocol with a new experiment list without repaying training.
-        from ldm_tpu.training import checkpoint as ckpt
-
-        dt.state = ckpt.restore_state(diffusion_checkpoint, dt.state)
-        dt.state = jax.device_put(dt.state)  # host→device ONCE (tunnel tax)
+        dt.load_state(diffusion_checkpoint)
+        if dt._state_sh is None:
+            dt.state = jax.device_put(dt.state)  # host→device ONCE (tunnel tax)
     else:
         dt.train()
 

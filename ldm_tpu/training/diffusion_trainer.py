@@ -124,9 +124,21 @@ class DiffusionTrainer:
                 if self.param_sharding != "replicated" else self._state_sh
             )
             if self.param_sharding != "replicated":
-                self.state = jax.device_put(self.state, self._state_sh)
+                from ldm_tpu.parallel.fsdp import put_global
+
+                self.state = put_global(self.state, self._state_sh)
         else:
             self._state_sh = self._params_sh = None
+
+        # Spatial partitioning of activations (parallel/sp.py): pin the
+        # sampler's (B,H,W,C) x_t to P(data, model); GSPMD propagates the row
+        # split through the conv trunk with halo exchange.  FORWARD-ONLY:
+        # gradient programs under this jaxlib's partitioned transpose are
+        # numerically wrong (perf/probe28_RESULTS.md), so train() refuses it.
+        self._spatial = (
+            mesh is not None
+            and getattr(config, "activation_sharding", "batch") == "spatial"
+        )
 
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
@@ -256,6 +268,13 @@ class DiffusionTrainer:
 
     def _build_sampler(self):
         model, diffusion = self.model, self.diffusion
+        apply_fn = model.apply
+        if self._spatial:
+            # every scan step's x_t re-pins to P(data, model) — SP rides the
+            # whole T-step sampler, not just training (parallel/sp.py)
+            from ldm_tpu.parallel.sp import wrap_apply_spatial
+
+            apply_fn = wrap_apply_spatial(self.mesh, apply_fn)
 
         def _sample(params, key, classes, cfg_scale, method="ddpm",
                     ddim_steps=50, eta=0.0, decode_scale_override=0.0):
@@ -263,13 +282,13 @@ class DiffusionTrainer:
                 # capability-plus few-step sampler (ddpm.py sample_ddim) —
                 # same fused-CFG scan design at ddim_steps/T of the cost
                 x0 = diffusion.sample_ddim(
-                    model.apply, params, key, classes, self.image_shape,
+                    apply_fn, params, key, classes, self.image_shape,
                     n_sample_steps=ddim_steps, eta=eta, cfg_scale=cfg_scale,
                     null_label=model.num_classes,
                 )
             else:
                 x0 = diffusion.sample(
-                    model.apply, params, key, classes, self.image_shape,
+                    apply_fn, params, key, classes, self.image_shape,
                     cfg_scale=cfg_scale, null_label=model.num_classes,
                 )
             return self._postprocess(x0, decode_scale_override)
@@ -326,8 +345,23 @@ class DiffusionTrainer:
         path = ckpt.latest_checkpoint(self.config.checkpoints)
         if path is None:
             return False
-        self.state = ckpt.restore_state(path, self.state)
+        self.load_state(path)
         return True
+
+    def load_state(self, path: str) -> None:
+        """Restore a full-TrainState checkpoint and re-place it on the mesh.
+
+        ``restore_state`` returns HOST arrays; under fsdp/tp/fsdp_tp the
+        jitted programs declare sharded in_shardings, so the state is
+        re-sharded here (parallel/fsdp.py put_global — works even when the
+        sharding spans other processes' devices; each process keeps only its
+        shards).
+        """
+        self.state = ckpt.restore_state(path, self.state)
+        if self._state_sh is not None:
+            from ldm_tpu.parallel.fsdp import put_global
+
+            self.state = put_global(self.state, self._state_sh)
 
     # ----------------------------------------------------------------- epochs
     def _divisible(self, batch) -> bool:
@@ -395,6 +429,13 @@ class DiffusionTrainer:
     def train(self) -> dict:
         """Epoch loop with metric logging, periodic sampling grid, early stopping
         (reference ``train``, src/DiffusionModelTrainer.py:120-149)."""
+        if self._spatial:
+            raise ValueError(
+                "activation_sharding='spatial' is a forward/sampling feature: "
+                "GSPMD's partitioned transpose corrupts UNet gradients on this "
+                "jaxlib (perf/probe28_RESULTS.md). Train with "
+                "activation_sharding='batch', then sample under SP."
+            )
         # wandb.define_metric parity (reference main.py:185-186) — min summaries
         # tracked locally in summary.json too (utils/logging.py)
         self.logger.define_summaries({
