@@ -134,10 +134,12 @@ class Config:
     param_sharding: str = "replicated"
     # Activation placement: "batch" (default — each device holds full
     # per-image activations) or "spatial" (SP: H sharded over the mesh's
-    # model axis with GSPMD halo exchange — for SAMPLING at resolutions
-    # where one image's activations outgrow a chip; forward-only by
-    # measurement, trainers refuse it — see ldm_tpu/parallel/sp.py and
-    # perf/probe28_RESULTS.md).
+    # model axis — for resolutions where one image's activations outgrow a
+    # chip).  Sampling rides the GSPMD annotation path (parallel/sp.py);
+    # training/eval ride the explicit shard_map path with hand-placed
+    # halo/psum/gather collectives (parallel/sp_explicit.py) because this
+    # jaxlib's GSPMD transpose corrupts annotation-path gradients
+    # (perf/probe28_RESULTS.md).
     activation_sharding: str = "batch"
     # Cadence knobs (epochs). The reference samples a grid every 2 epochs
     # (src/DiffusionModelTrainer.py:140-143) and has no periodic full-state

@@ -26,18 +26,22 @@ Design (the annotation IS the implementation, as with fsdp.py/tp.py):
   guard keeps indivisible heights replicated rather than forcing GSPMD into
   degenerate 0-row shards.
 
-**SP is a FORWARD (inference/sampling) feature.** Measured on this jaxlib
-(perf/probe28_RESULTS.md): forward numerics are exact everywhere (full-UNet
-elementwise diff ~1e-6; every bisected op exact), but GSPMD's partitioned
-TRANSPOSE of the composed UNet program corrupts gradients (66-73/120 grad
-leaves wrong; bottleneck-block grads come out exactly data-axis-times the
-reference — a dropped/duplicated all-reduce; minimal trigger committed in
-perf/probe28c).  The trainers therefore apply SP only to the sampler and
-refuse to TRAIN under ``activation_sharding: spatial``; revisit on jaxlib
-upgrades via tests/test_sp.py's regression canary.
+**This annotation path serves FORWARD (inference/sampling) programs.**
+Measured on this jaxlib (perf/probe28_RESULTS.md): forward numerics are exact
+everywhere (full-UNet elementwise diff ~1e-6; every bisected op exact), but
+GSPMD's partitioned TRANSPOSE of the composed UNet program corrupts gradients
+(66-73/120 grad leaves wrong; bottleneck-block grads come out exactly
+data-axis-times the reference — a dropped/duplicated all-reduce; minimal
+trigger committed in perf/probe28c).  Gradient programs (train/eval) instead
+run the EXPLICIT shard_map path — parallel/sp_explicit.py: hand-placed
+ppermute halos, psum GroupNorm statistics, gathered attention — whose AD
+transposes are exact by construction, so ``activation_sharding: spatial``
+TRAINS.  tests/test_sp.py carries the canary that flips when a jaxlib
+upgrade fixes the annotation path's transpose.
 
 Usage: ``create_mesh(model=k)`` + ``activation_sharding: spatial`` in the
-config (config.py), then ``sample()`` — the big-image generation path.
+config (config.py): the sampler re-pins x_t here each scan step; the
+trainers route gradient programs through sp_explicit.
 """
 
 from __future__ import annotations

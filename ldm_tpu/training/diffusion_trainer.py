@@ -130,15 +130,43 @@ class DiffusionTrainer:
         else:
             self._state_sh = self._params_sh = None
 
-        # Spatial partitioning of activations (parallel/sp.py): pin the
-        # sampler's (B,H,W,C) x_t to P(data, model); GSPMD propagates the row
-        # split through the conv trunk with halo exchange.  FORWARD-ONLY:
-        # gradient programs under this jaxlib's partitioned transpose are
-        # numerically wrong (perf/probe28_RESULTS.md), so train() refuses it.
+        # Spatial partitioning of activations: the SAMPLER uses the
+        # annotation path (parallel/sp.py — one sharding constraint, GSPMD
+        # halo exchange; forward-exact); GRADIENT programs (train/eval) use
+        # the EXPLICIT path (parallel/sp_explicit.py — shard_map with
+        # hand-placed ppermute halos / psum GroupNorm stats / gathered
+        # attention), because this jaxlib's GSPMD partitioned transpose
+        # corrupts the annotation path's grads (perf/probe28_RESULTS.md)
+        # while explicit collectives have exact AD transposes.
+        from ldm_tpu.parallel.sp import spatial_axis_size
+
         self._spatial = (
-            mesh is not None
+            spatial_axis_size(mesh) > 1
             and getattr(config, "activation_sharding", "batch") == "spatial"
         )
+        self._sp_apply = None
+        if self._spatial:
+            from ldm_tpu.parallel.sp_explicit import (
+                make_unet_sp_apply, supports_spatial_training,
+            )
+
+            if self.param_sharding != "replicated":
+                raise ValueError(
+                    "activation_sharding='spatial' composes with "
+                    "param_sharding='replicated' only (the explicit shard_map "
+                    f"path consumes replicated params), got "
+                    f"{self.param_sharding!r}"
+                )
+            if not supports_spatial_training(
+                mesh, self.image_shape[0], len(model.channel_multipliers)
+            ):
+                raise ValueError(
+                    "activation_sharding='spatial' needs the height to split "
+                    "into even per-rank rows at every pooled level: "
+                    f"H={self.image_shape[0]} % (model_axis * "
+                    f"2^{len(model.channel_multipliers)}) != 0"
+                )
+            self._sp_apply = make_unet_sp_apply(mesh, model)
 
         self._train_step = self._build_train_step()
         self._eval_step = self._build_eval_step()
@@ -194,8 +222,10 @@ class DiffusionTrainer:
         eps, xt, t = self.diffusion.noise_batch(k_noise, x0)
         y = self._dropped_labels(k_drop, batch["label"])
 
+        apply_fn = self._sp_apply or self._train_model.apply
+
         def loss_fn(params):
-            eps_theta = self._train_model.apply(params, xt, t, y)
+            eps_theta = apply_fn(params, xt, t, y)
             return jnp.mean((eps.astype(jnp.float32) - eps_theta) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
@@ -227,6 +257,7 @@ class DiffusionTrainer:
         model, diffusion = self.model, self.diffusion
         cfg = self.cfg_scale
         null = self.model.num_classes
+        apply_fn = self._sp_apply or model.apply
 
         def eval_step(state: TrainState, batch) -> dict:
             # deterministic eval stream, disjoint from training (salted fold_in)
@@ -237,9 +268,9 @@ class DiffusionTrainer:
             x0 = self._encode(k_enc, batch["image"])
             eps, xt, t = diffusion.noise_batch(k_noise, x0)
             y = batch["label"]
-            eps_theta = model.apply(state.params, xt, t, y)
+            eps_theta = apply_fn(state.params, xt, t, y)
             if cfg > 0:
-                eps_uncond = model.apply(
+                eps_uncond = apply_fn(
                     state.params, xt, t, jnp.full_like(y, null)
                 )
                 # torch.lerp(uncond, cond, cfg) (src/DiffusionModelTrainer.py:99-104)
@@ -429,13 +460,6 @@ class DiffusionTrainer:
     def train(self) -> dict:
         """Epoch loop with metric logging, periodic sampling grid, early stopping
         (reference ``train``, src/DiffusionModelTrainer.py:120-149)."""
-        if self._spatial:
-            raise ValueError(
-                "activation_sharding='spatial' is a forward/sampling feature: "
-                "GSPMD's partitioned transpose corrupts UNet gradients on this "
-                "jaxlib (perf/probe28_RESULTS.md). Train with "
-                "activation_sharding='batch', then sample under SP."
-            )
         # wandb.define_metric parity (reference main.py:185-186) — min summaries
         # tracked locally in summary.json too (utils/logging.py)
         self.logger.define_summaries({

@@ -59,7 +59,7 @@ def test_state_shardings_modes():
 
 
 def _run_trainer(mesh, workdir, param_sharding="replicated",
-                 activation_sharding="batch"):
+                 activation_sharding="batch", image_size=8):
     from ldm_tpu.config import Config, DataConfig, DiffusionConfig, ModelConfig
     from ldm_tpu.data.datasets import synthetic_dataset
     from ldm_tpu.data.loader import DataLoader
@@ -79,9 +79,10 @@ def _run_trainer(mesh, workdir, param_sharding="replicated",
             channel_multipliers=[1], num_classes=10,
         )),
         diffusion=DiffusionConfig(n_steps=4),
-        data=DataConfig(dataset="SYNTHETIC", image_size=8, image_channels=1),
+        data=DataConfig(dataset="SYNTHETIC", image_size=image_size,
+                        image_channels=1),
     )
-    ds = synthetic_dataset(48, 8, 1, seed=0)
+    ds = synthetic_dataset(48, image_size, 1, seed=0)
     tr = DiffusionTrainer(
         cfg, build_model(cfg), build_diffusion(cfg),
         DataLoader(ds, 16, seed=0), DataLoader(ds, 16, seed=1),

@@ -1,12 +1,12 @@
-"""Spatial partitioning (SP) tests on the 8-device virtual mesh.
+"""Spatial partitioning (SP, annotation path) tests on the 8-device mesh.
 
-SP shards activation ROWS over the ``model`` axis (parallel/sp.py) with
-GSPMD-inserted halo exchange in the conv trunk.  It is a FORWARD feature:
-sampling under SP must match the batch-sharded sampler (halo exchange is an
-exact decomposition of the convolution), training must refuse it, and the
-measured gradient pathology that forced that scoping
-(perf/probe28_RESULTS.md) is pinned by a canary that flips when a jaxlib
-upgrade fixes the partitioned transpose.
+parallel/sp.py shards activation ROWS over the ``model`` axis with
+GSPMD-inserted halo exchange in the conv trunk.  The annotation path serves
+the SAMPLER (forward-exact; halo exchange is an exact decomposition of the
+convolution); its GRADIENTS are corrupted by this jaxlib's partitioned
+transpose (perf/probe28_RESULTS.md) — pinned here by a canary — so gradient
+programs run the EXPLICIT shard_map path instead (parallel/sp_explicit.py,
+tests/test_sp_explicit.py), which makes spatial training work today.
 """
 
 import flax.linen as nn
@@ -68,12 +68,6 @@ def test_wrap_apply_reconstrains_each_call():
     assert wrap_apply_spatial(create_mesh(), apply_fn) is apply_fn
 
 
-def test_sp_training_refuses(tmp_path):
-    with pytest.raises(ValueError, match="spatial.*forward"):
-        _run_trainer(_sp_mesh(), str(tmp_path / "sp"),
-                     activation_sharding="spatial")
-
-
 @pytest.mark.slow
 def test_sp_sampling_matches_batch_sharded(tmp_path):
     """The SP sampler (rows over model, halo exchange per step) must produce
@@ -117,11 +111,12 @@ def test_sp_sampling_matches_batch_sharded(tmp_path):
 
 @pytest.mark.slow
 def test_sp_gradient_pathology_canary():
-    """Pin the measured GSPMD bug that scoped SP to forward-only: grads of a
-    conv -> GroupNorm(groups=C) -> conv sandwich under the row sharding
-    diverge from the unsharded grads (perf/probe28c).  When a jaxlib upgrade
-    makes this FAIL (i.e. grads match), lift the train() refusal in
-    diffusion_trainer.py and extend SP to gradient programs."""
+    """Pin the measured GSPMD bug that forced gradient programs onto the
+    explicit shard_map path: grads of a conv -> GroupNorm(groups=C) -> conv
+    sandwich under the row-sharding ANNOTATION diverge from unsharded grads
+    (perf/probe28c).  When a jaxlib upgrade makes this FAIL (grads match),
+    the annotation path can serve gradients too — compare it against
+    sp_explicit for speed and keep the faster one."""
     mesh = _sp_mesh()
 
     class M(nn.Module):
@@ -154,8 +149,8 @@ def test_sp_gradient_pathology_canary():
         for a, c in zip(jax.tree.leaves(g0), jax.tree.leaves(g1))
     )
     assert worst > 1e-2, (
-        f"SP gradients now match (worst rel {worst:.2e}) — the jaxlib GSPMD "
-        "transpose bug is fixed; lift the forward-only scoping of "
-        "activation_sharding='spatial' (diffusion_trainer.train) and add "
-        "training parity tests."
+        f"SP annotation-path gradients now match (worst rel {worst:.2e}) — "
+        "the jaxlib GSPMD transpose bug is fixed; benchmark the annotation "
+        "path against parallel/sp_explicit.py for gradient programs and keep "
+        "the faster one."
     )
