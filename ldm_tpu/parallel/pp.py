@@ -345,3 +345,16 @@ def pipeline_unet_apply(
     )
     out = fn(pp.stacked, xm, tm, ym)
     return out.reshape((B,) + out.shape[2:])
+
+
+def make_pp_apply(mesh: Mesh, pp: PPParams, n_microbatches: int):
+    """Adapt the pipeline to the ``apply_fn(params, x, t, y)`` signature the
+    samplers consume (diffusion/ddpm.py sample/sample_ddim) — ``params`` is
+    the (K, Pmax) stage-sharded stack.  Each sampler scan step then streams
+    its (2B fused-CFG) batch through the pipeline."""
+    def apply_fn(stacked, x, t, y):
+        return pipeline_unet_apply(
+            mesh, PPParams(stacked, pp.templates, pp.model), x, t, y,
+            n_microbatches)
+
+    return apply_fn

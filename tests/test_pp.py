@@ -131,6 +131,31 @@ def test_pipeline_grads_match_single_device():
                                       np.zeros(pmax - n, np.float32))
 
 
+@pytest.mark.slow
+def test_pp_sampler_matches_single_device():
+    """The T-step fused-CFG sampler scan streams through the pipeline via
+    make_pp_apply and reproduces single-device samples."""
+    from ldm_tpu.diffusion.ddpm import GaussianDiffusion
+    from ldm_tpu.parallel.pp import make_pp_apply
+
+    mesh = create_mesh(model=2)
+    model = _tiny()
+    params, x, t, y = _init(model, b=8)
+    diffusion = GaussianDiffusion(n_steps=4)
+    pp = pp_pack_params(mesh, model, params)
+    classes = jnp.arange(8, dtype=jnp.int32) % 10
+    kw = dict(cfg_scale=3.0, null_label=model.num_classes)
+    shape = x.shape[1:]
+    ref = jax.jit(lambda p, k, c: diffusion.sample(
+        model.apply, p, k, c, shape, **kw))(params, jax.random.key(5), classes)
+    # fused CFG doubles the batch: 16 = 4 microbatches x (2 data x 2)
+    pp_apply = make_pp_apply(mesh, pp, n_microbatches=4)
+    out = jax.jit(lambda s, k, c: diffusion.sample(
+        pp_apply, s, k, c, shape, **kw))(pp.stacked, jax.random.key(5), classes)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_pipeline_rejects_bad_microbatching():
     mesh = create_mesh(model=2)
     model = _tiny()
