@@ -12,7 +12,9 @@ Usage: python _mp_worker.py <coordinator> <num_processes> <process_id> <workdir>
 With ``param_sharding=fsdp`` the state is ZeRO-sharded ACROSS the two
 processes, so checkpoint writes exercise the collective process_allgather
 path in training/checkpoint.py (leaves are not fully addressable from any
-single process).
+single process).  With ``param_sharding=tp`` the mesh is (data=hosts,
+model=2 local devices): attention heads TP-sharded inside each host, DP
+across hosts — the standard pod layout.
 """
 
 import os
@@ -54,7 +56,10 @@ from ldm_tpu.factory import build_diffusion, build_model  # noqa: E402
 from ldm_tpu.parallel.mesh import create_mesh, shard_batch  # noqa: E402
 from ldm_tpu.training.diffusion_trainer import DiffusionTrainer  # noqa: E402
 
-mesh = create_mesh()  # global: 2 local devices per process
+# tp/fsdp_tp: model axis = the 2 local devices of each host (TP rides the
+# fast intra-host links), data axis = across hosts — the standard layout
+mesh = (create_mesh(model=2) if param_sharding in ("tp", "fsdp_tp")
+        else create_mesh())
 assert mesh.devices.size == 2 * num_processes
 
 cfg = Config(

@@ -61,6 +61,9 @@ def test_per_host_subset_equalizes_counts(monkeypatch):
     # checkpoint writes exercise the collective process_allgather save path
     # and load_state's re-sharding (training/checkpoint.py)
     (2, "fsdp"),
+    # tp: attention heads sharded over each host's 2 local devices, DP
+    # across hosts — the standard TP-inside/DP-outside pod layout
+    (2, "tp"),
 ])
 def test_multi_process_dp_training(tmp_path, n_proc, param_sharding):
     """2x2 and 4x2: N jax.distributed processes, 2 virtual CPU devices each
