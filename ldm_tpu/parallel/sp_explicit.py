@@ -24,12 +24,18 @@ Partitioning (rows of every NHWC activation over the ``model`` axis):
   as flax's GroupNorm.
 * **2x2 max-pool / 2x2-stride-2 ConvTranspose / 1x1 convs / time-embedding
   MLP** are boundary-free at even local row counts and run as stock local ops.
-* **Attention sites** (linear attention per level, softmax attention in the
-  bottleneck) need the full sequence: rows are ``all_gather``-ed, the stock
-  block runs on the full tensor, and each rank keeps its row slice.  This
-  duplicates attention compute across the model axis — the same seam the
-  annotation path has (sp.py), and the place a deployment would drop in ring
-  attention if attention dominated (it does not: the conv trunk does).
+* **Linear attention stays distributed** — no sequence gather.  The block is
+  ASSOCIATIVE over the sequence: the k-softmax needs a global max (``pmax``)
+  and a global denominator (``psum`` of per-rank exp-sums, both (B, C)-sized),
+  and the context matrix k^T v is a sum over positions — a ``psum`` of
+  per-rank (C, C) partial contexts.  Everything else (q softmax, the two
+  output contractions, the residual) is per-position.  Collective bytes are
+  O(C^2) per block instead of the O(N*C) a row gather would move, and no
+  compute is duplicated — the ring-attention-class treatment, exploiting
+  linearity instead of a ring.
+* **The bottleneck softmax attention** (the one true sequence-global softmax)
+  gathers rows, runs the stock block on the full tensor, and keeps the local
+  slice — it operates at H/2^L where the whole sequence is a few positions.
 
 The stage functions consume the SAME param tree as ``UNet.__call__``
 (models/unet.py; reference architecture src/UNet.py:293-389) via flax
@@ -140,13 +146,10 @@ def make_unet_sp_apply(mesh: Mesh, model):
     """Build the explicit-SP equivalent of ``model.apply`` (same signature:
     ``apply(params, x, t, y) -> eps``), differentiable with exact gradients.
 
-    The attention blocks run the stock module on gathered rows; a Pallas impl
-    would dispatch per-rank on full shapes, but the gradient path is the
-    reason this function exists, so the XLA attention is forced (the caller
-    passes the model; impl is overridden here)."""
-    from ldm_tpu.models.unet import (
-        Attention, LinAttnBlock, TimeEmbedding,
-    )
+    Linear attention runs distributed (psum of the associative context); the
+    bottleneck softmax attention runs the stock module on gathered rows (the
+    sequence there is a few positions)."""
+    from ldm_tpu.models.unet import Attention, TimeEmbedding
 
     k = int(mesh.shape[MODEL_AXIS])
     assert k > 1, "explicit SP needs a model axis > 1"
@@ -159,11 +162,45 @@ def make_unet_sp_apply(mesh: Mesh, model):
     assert model.with_time_emb and model.num_classes is not None, (
         "explicit SP assumes the conditional UNet (the flagship family)")
 
+    heads, dim_head = 4, 32  # LinAttnBlock defaults (models/unet.py)
+    hidden = heads * dim_head
+    block_diag = jnp.kron(jnp.eye(heads, dtype=dt),
+                          jnp.ones((dim_head, dim_head), dt))
+
     def attn_block(pblk: dict, x: Array) -> Array:
-        hl = x.shape[1]
-        xf = _gather_rows(x)
-        yf = LinAttnBlock(dtype=dt, impl="xla").apply({"params": pblk}, xf)
-        return _my_rows(yf, hl)
+        """LinAttnBlock (Residual(PreNorm(LinearAttention)) + post-norm,
+        reference src/UNet.py:139-164,192) on row-sharded x — distributed
+        via the block's associativity (module docstring above)."""
+        b, hl, w, c = x.shape
+        n_l = hl * w
+        h = _group_norm_sp({"scale": pblk["norm_pre_scale"],
+                            "bias": pblk["norm_pre_bias"]}, x, 1, dt)
+        qkv = h.reshape(b, n_l, c) @ pblk["qkv_kernel"].astype(dt)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        # q: per-head softmax over dim_head — per-position, fully local
+        qf = q.reshape(b, n_l, heads, dim_head).astype(jnp.float32)
+        q = (jax.nn.softmax(qf, axis=-1) * dim_head ** -0.5
+             ).reshape(b, n_l, hidden).astype(dt)
+        # k: softmax over the GLOBAL sequence — stop-gradient max shift
+        # (cancels algebraically; pmax has no AD rule, so the (B, hidden)
+        # local maxes ride an all_gather) + psum denominator
+        kf = k.astype(jnp.float32)
+        local_max = jax.lax.stop_gradient(kf.max(axis=1))
+        shift = jax.lax.all_gather(local_max, MODEL_AXIS).max(axis=0)
+        e = jnp.exp(kf - shift[:, None, :])
+        denom = jax.lax.psum(e.sum(axis=1), MODEL_AXIS)
+        k = (e / denom[:, None, :]).astype(dt)
+        # context k^T v: a sum over positions — psum of (C, C) partials,
+        # masked to the per-head diagonal blocks (the MXU-shaped form the
+        # single-device block uses, models/unet.py LinearAttention)
+        ctx = jax.lax.psum(jnp.einsum("bnd,bne->bde", k, v),
+                           MODEL_AXIS) * block_diag
+        ctx_w = jnp.einsum("bde,ec->bdc", ctx, pblk["out_kernel"].astype(dt))
+        out = (jnp.einsum("bdc,bnd->bnc", ctx_w, q)
+               + pblk["out_bias"].astype(dt)).reshape(b, hl, w, c)
+        out = _group_norm_sp({"scale": pblk["norm_post_scale"],
+                              "bias": pblk["norm_post_bias"]}, out, 1, dt)
+        return x + out
 
     def device_fn(params: Any, x: Array, t: Array, y: Array):
         p = params["params"] if "params" in params else params
