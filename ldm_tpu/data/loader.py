@@ -17,6 +17,7 @@ mesh's data axis) happens in the trainer via ``ldm_tpu.parallel.shard_batch``.
 
 from __future__ import annotations
 
+import os
 from typing import Iterator, Optional, Tuple
 
 import numpy as np
@@ -70,8 +71,16 @@ class DataLoader:
         # native lib or an affine transform is unavailable)
         self.prefetch = prefetch
         self._prefetcher = None
+        self._pf_key = None
         self._rng = np.random.default_rng(seed)
         self._epoch = 0
+        # warm the one-time native build HERE (construction, before any TPU
+        # work is in flight) rather than inside the first __iter__ on the
+        # 1-core host; no-op/memoized after the first loader
+        if os.environ.get("LDM_TPU_NO_NATIVE") != "1":
+            from ldm_tpu import native
+
+            native.available()
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -111,6 +120,11 @@ class DataLoader:
         if self.prefetch > 0 and aff is not None and end >= bs:
             yield from self._iter_prefetched(order, end, aff)
             return
+        if self._prefetcher is not None:
+            # the native path no longer applies (transform/dataset change or
+            # prefetch toggled off) — don't strand the worker thread
+            self._prefetcher.close()
+            self._prefetcher = self._pf_key = None
         for i in range(0, end, bs):
             yield self._gather(order[i : i + bs], aff)
 
@@ -120,11 +134,15 @@ class DataLoader:
         synchronously after."""
         from ldm_tpu import native
 
-        # rebuild the ring if the dataset was swapped underneath us (e.g.
-        # ResNetTrainer.set_train_data replaces loader.dataset per mix) —
-        # the C++ side holds raw pointers into the previous arrays
-        if (self._prefetcher is not None
-                and self._prefetcher._images is not self.dataset.images):
+        # rebuild the ring when ANYTHING baked into it changed underneath us
+        # (ResNetTrainer.set_train_data swaps the dataset; a caller may also
+        # retarget transform or batch_size): the C++ side holds raw pointers
+        # into the arrays and its slot sizes/affine are fixed at creation
+        key = (self.dataset.images, self.dataset.labels, self.batch_size, aff)
+        if self._prefetcher is not None and not (
+            self._pf_key[0] is key[0] and self._pf_key[1] is key[1]
+            and self._pf_key[2:] == key[2:]
+        ):
             self._prefetcher.close()
             self._prefetcher = None
         if self._prefetcher is None:
@@ -132,7 +150,10 @@ class DataLoader:
                 self.dataset.images, self.dataset.labels, self.batch_size,
                 *aff, capacity=self.prefetch,
             )
+            self._pf_key = key
         n_full = (end // self.batch_size) * self.batch_size
+        # start_epoch is safe mid-epoch (an abandoned iterator): the C++ side
+        # waits out the in-flight gather and drops stale slots (batcher.cpp)
         self._prefetcher.start_epoch(order[:n_full])
         while (b := self._prefetcher.next_batch()) is not None:
             yield b

@@ -78,14 +78,24 @@ def _ptr(a: np.ndarray, ct):
     return a.ctypes.data_as(ctypes.POINTER(ct))
 
 
+def _checked_idx(idx: np.ndarray, n: int) -> np.ndarray:
+    """Canonicalize indices with numpy fancy-indexing semantics: negatives
+    wrap, out-of-range raises — the C++ gather would OOB-read instead."""
+    idx = np.ascontiguousarray(idx, dtype=np.int64)
+    if idx.size and (idx.min() < -n or idx.max() >= n):
+        raise IndexError(f"gather index out of range for axis of size {n}")
+    return np.ascontiguousarray(np.where(idx < 0, idx + n, idx))
+
+
 def gather_affine(
     images: np.ndarray, idx: np.ndarray, div: float, mul: float, add: float
 ) -> np.ndarray:
-    """images: uint8 (N, ...) C-contiguous; idx: any int array."""
+    """images: uint8 (N, ...) C-contiguous; idx: any int array (numpy
+    semantics — negatives wrap, out-of-range raises IndexError)."""
     lib = _load()
     assert lib is not None
     assert images.dtype == np.uint8 and images.flags.c_contiguous
-    idx = np.ascontiguousarray(idx, dtype=np.int64)
+    idx = _checked_idx(idx, images.shape[0])
     item = int(np.prod(images.shape[1:], dtype=np.int64))
     out = np.empty((len(idx),) + images.shape[1:], np.float32)
     lib.ldm_gather_affine_u8(
@@ -99,7 +109,7 @@ def gather_labels(labels: np.ndarray, idx: np.ndarray) -> np.ndarray:
     lib = _load()
     assert lib is not None
     labels = np.ascontiguousarray(labels, dtype=np.int32)
-    idx = np.ascontiguousarray(idx, dtype=np.int64)
+    idx = _checked_idx(idx, labels.shape[0])
     out = np.empty(len(idx), np.int32)
     lib.ldm_gather_i32(
         _ptr(labels, ctypes.c_int32), _ptr(idx, ctypes.c_int64), len(idx),
@@ -143,7 +153,7 @@ class Prefetcher:
         )
 
     def start_epoch(self, order: np.ndarray) -> None:
-        order = np.ascontiguousarray(order, dtype=np.int64)
+        order = _checked_idx(order, self._images.shape[0])
         n = (len(order) // self._batch) * self._batch
         self._lib.ldm_prefetcher_start_epoch(
             self._h, _ptr(order, ctypes.c_int64), n

@@ -81,7 +81,10 @@ struct Prefetcher {
   std::mutex mu;
   std::condition_variable cv_worker;    // signals: new epoch / slot freed / stop
   std::condition_variable cv_consumer;  // signals: slot filled
+  std::condition_variable cv_idle;      // signals: gather window closed
   bool stop = false;
+  bool busy = false;      // worker is in its unlocked gather window
+  int64_t epoch = 0;      // bumped by start_epoch; stale gathers are dropped
   std::thread worker;
 
   void run() {
@@ -94,11 +97,16 @@ struct Prefetcher {
       if (stop) return;
       Slot& s = slots[produced % slots.size()];
       const int64_t* idx = order.data() + produced * batch;
+      const int64_t my_epoch = epoch;
+      busy = true;
       lk.unlock();  // the gather runs outside the lock
       ldm_gather_affine_u8(images, item_elems, idx, batch, div, mul, add,
                            s.img.data());
       ldm_gather_i32(labels, idx, batch, s.lbl.data());
       lk.lock();
+      busy = false;
+      cv_idle.notify_all();
+      if (epoch != my_epoch) continue;  // epoch restarted mid-gather: drop it
       s.full = true;
       ++produced;
       cv_consumer.notify_one();
@@ -130,12 +138,16 @@ void* ldm_prefetcher_create(const uint8_t* images, const int32_t* labels,
 
 // Begin an epoch over `n_order` indices (must be a multiple of the batch
 // size; the Python side handles any tail batch itself).  The order array is
-// copied, so the caller may free it immediately.  Must not be called while
-// the previous epoch still has unconsumed batches.
+// copied, so the caller may free it immediately.  Safe to call with the
+// previous epoch partially consumed (an abandoned iterator): the reset waits
+// for the worker's gather window to close, so order.assign never races the
+// in-flight reads, and the epoch bump drops a just-finished stale batch.
 void ldm_prefetcher_start_epoch(void* h, const int64_t* order,
                                 int64_t n_order) {
   auto* p = static_cast<Prefetcher*>(h);
-  std::lock_guard<std::mutex> lk(p->mu);
+  std::unique_lock<std::mutex> lk(p->mu);
+  p->cv_idle.wait(lk, [&] { return !p->busy; });
+  ++p->epoch;
   p->order.assign(order, order + n_order);
   p->n_batches = n_order / p->batch;
   p->produced = 0;

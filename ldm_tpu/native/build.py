@@ -18,6 +18,7 @@ _LIB = os.path.join(os.path.dirname(__file__), "_libldm_native.so")
 def lib_path() -> str | None:
     """Path to the built library, building it if needed; None if the build
     toolchain is unavailable or the build fails (callers fall back)."""
+    tmp = None
     try:
         if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(
             _SRC
@@ -33,9 +34,16 @@ def lib_path() -> str | None:
         ]
         r = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
         if r.returncode != 0:
-            os.unlink(tmp)
             return None
         os.replace(tmp, _LIB)
         return _LIB
     except (OSError, subprocess.SubprocessError):
         return None
+    finally:
+        # a failed/raising build must not strand the mkstemp file (replace
+        # moves it on success, so this is a no-op then)
+        if tmp is not None and os.path.exists(tmp):
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass

@@ -106,7 +106,15 @@ def split_unet_params(model, params: Any) -> Tuple[dict, dict]:
     s0 |= {f"LinAttnBlock_{i}" for i in range(L)}
     p0 = {k: v for k, v in p.items() if k in s0}
     p1 = {k: v for k, v in p.items() if k not in s0}
-    assert set(p0) | set(p1) == set(p), "unexpected UNet param keys"
+    # every complement key must be a KNOWN decoder/head module — an
+    # unanticipated key would otherwise ride stage 1 dead (zero grads)
+    unknown = {
+        k for k in p1
+        if not (k == "Conv_1"
+                or k.startswith(("ConvTranspose_", "ResNetBlock_",
+                                 "LinAttnBlock_")))
+    }
+    assert not unknown, f"unexpected UNet param keys for the PP split: {unknown}"
     return p0, p1
 
 

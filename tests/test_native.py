@@ -110,6 +110,71 @@ def test_prefetch_loader_rebuilds_ring_on_dataset_swap():
     assert not np.array_equal(b1["image"], b2["image"])
 
 
+def test_gather_index_semantics_match_numpy():
+    """Negatives wrap (numpy fancy-indexing parity); out-of-range raises
+    instead of the raw C++ OOB read (review finding)."""
+    ds = _dataset(n=10)
+    idx = np.array([-1, 0, -10], np.int64)
+    np.testing.assert_array_equal(
+        native.gather_affine(ds.images, idx, 255.0, 2.0, -1.0),
+        scale_to_minus_one_one(ds.images[idx]),
+    )
+    np.testing.assert_array_equal(
+        native.gather_labels(ds.labels, idx), ds.labels[idx]
+    )
+    for bad in ([10], [-11]):
+        with pytest.raises(IndexError):
+            native.gather_affine(ds.images, np.array(bad), 255.0, 2.0, -1.0)
+
+
+def test_prefetch_loader_abandoned_iterator_restarts_cleanly():
+    """An abandoned mid-epoch iterator (early break / next(iter(dl))) must
+    not poison the next epoch with stale slots or race the worker's gather
+    (review finding — batcher.cpp waits out the gather window and drops
+    stale batches on epoch restart)."""
+    ds = _dataset(n=64)
+    dl = DataLoader(ds, 8, shuffle=True, seed=11, prefetch=3)
+    for _ in range(5):  # repeatedly abandon with batches still in flight
+        next(iter(dl))
+    ring = dl._prefetcher
+    got = list(dl)  # then consume a full epoch off the SAME ring
+    assert dl._prefetcher is ring and len(got) == 8
+    # ground truth: a SYNCHRONOUS loader whose rng advanced the same number
+    # of times yields the identical epoch, batch for batch — any stale slot
+    # served from an abandoned epoch breaks this equality
+    dl2 = DataLoader(ds, 8, shuffle=True, seed=11, prefetch=0)
+    for _ in range(5):
+        next(iter(dl2))
+    want = list(dl2)
+    assert len(want) == 8
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(a["image"], b["image"])
+        np.testing.assert_array_equal(a["label"], b["label"])
+
+
+def test_prefetch_loader_rebuilds_on_transform_and_batch_change():
+    """The ring bakes in (affine, batch_size) at creation — changing either
+    after an epoch must rebuild, not silently serve stale-normalized or
+    stale-sized batches (review finding)."""
+    ds = _dataset(n=32)
+    dl = DataLoader(ds, 8, shuffle=False, seed=0, prefetch=2)
+    assert next(iter(dl))["image"].min() < 0  # [-1, 1] epoch
+    ring = dl._prefetcher
+    dl.transform = scale_to_zero_one
+    b = next(iter(dl))
+    assert dl._prefetcher is not ring
+    np.testing.assert_array_equal(b["image"], scale_to_zero_one(ds.images[:8]))
+    ring = dl._prefetcher
+    dl.batch_size = 16
+    b = next(iter(dl))
+    assert dl._prefetcher is not ring and b["image"].shape[0] == 16
+    # switching to a non-affine transform closes the ring and falls back
+    dl.transform = lambda x: x.astype(np.float32)
+    b = next(iter(dl))
+    assert dl._prefetcher is None
+    np.testing.assert_array_equal(b["image"], ds.images[:16].astype(np.float32))
+
+
 def test_prefetch_loader_reuses_ring_across_epochs():
     ds = _dataset(n=32)
     dl = DataLoader(ds, 8, shuffle=True, seed=4, prefetch=2)

@@ -23,8 +23,6 @@ from ldm_tpu.parallel.sp import (
     wrap_apply_spatial,
 )
 
-from tests.test_fsdp import _run_trainer
-
 
 def _sp_mesh():
     return create_mesh(model=2)  # 8 devices -> (data=4, model=2)

@@ -13,7 +13,7 @@ import numpy as np
 import pytest
 
 from ldm_tpu.models.unet import UNet
-from ldm_tpu.parallel.mesh import create_mesh, data_sharding, replicated
+from ldm_tpu.parallel.mesh import create_mesh
 from ldm_tpu.parallel.sp_explicit import (
     make_unet_sp_apply, supports_spatial_training,
 )
