@@ -1,0 +1,180 @@
+"""Config + checkpoint → a ready :class:`GenerationService`.
+
+Mirrors the composition the one-shot CLI does (scripts/generate_images.py) for
+the pixel family, and the latent trainer's wiring (training/latent_trainer.py)
+for the latent family — but produces a long-lived serving object instead of a
+single sampling run.
+
+Serving defaults to the deterministic DDIM sampler (eta=0): besides being
+5-40x cheaper per image than the T-step ancestral loop (RESULTS.md), it is
+the sampler whose outputs are bit-reproducible per request seed regardless of
+how the batcher packed the request (see service.py's per-slot x_T design).
+``sampler="ddpm"`` serves the full ancestral loop when sample quality at
+lightly-trained checkpoints matters more than latency.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from ldm_tpu.config import Config
+from ldm_tpu.serving.service import GenerationService
+
+
+def build_generation_service(
+    config: Config,
+    checkpoint: Optional[str] = None,
+    *,
+    use_ema: bool = True,
+    sampler: str = "ddim",
+    ddim_steps: int = 50,
+    eta: float = 0.0,
+    cfg_scale: Optional[float] = None,
+    batch_size: int = 64,
+    max_delay_s: float = 0.02,
+    base_seed: Optional[int] = None,
+) -> GenerationService:
+    """Build (not start) a GenerationService for a pixel or latent config.
+
+    Args:
+      config: a framework config; ``type: latent`` configs must carry the
+        ``autoencoder:`` block + ``ae_checkpoint`` like the latent trainer.
+      checkpoint: eps-model params path; defaults to the config run dir's
+        best checkpoint (EMA weights when ``use_ema``).
+      cfg_scale: guidance scale; defaults to ``config.diffusion.cfg_scale``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ldm_tpu.factory import build_diffusion, build_model, compute_dtype
+    from ldm_tpu.training import checkpoint as ckpt
+
+    if sampler not in ("ddim", "ddpm"):
+        raise ValueError(f"sampler must be ddim or ddpm, got {sampler!r}")
+    cfg = config.diffusion.cfg_scale if cfg_scale is None else cfg_scale
+    d = config.data
+    pixel_shape = (d.image_size, d.image_size, d.image_channels)
+    model = build_model(config)
+
+    if checkpoint is None:
+        name = "diffusion_model_ema.msgpack" if use_ema else "diffusion_model.msgpack"
+        checkpoint = os.path.join(config.checkpoints, name)
+
+    if config.type == "latent":
+        from ldm_tpu.models.latent import LatentDiffusionModel
+        from ldm_tpu.registry import instantiate_from_config
+        from ldm_tpu.training.latent_trainer import latent_shape_of
+
+        assert config.autoencoder is not None, "latent config needs autoencoder:"
+        ae = instantiate_from_config(
+            {"target": config.autoencoder.target,
+             "params": config.autoencoder.params},
+            dtype=compute_dtype(config),
+        )
+        ae_template = jax.jit(ae.init)(
+            jax.random.key(0), jnp.zeros((1,) + pixel_shape), jax.random.key(1),
+        )
+        if config.ae_checkpoint:
+            ae_params = jax.device_put(
+                ckpt.load_params(config.ae_checkpoint, ae_template))
+        else:  # tests / smoke
+            ae_params = ae_template
+        factor = config.diffusion.latent_scaling_factor
+        if factor == "auto":
+            # train-time calibration needs the training data; serving loads
+            # the constant the trainer resolved (stored next to the weights).
+            factor = _load_calibrated_scaling(config)
+        dc = config.diffusion
+        ldm = LatentDiffusionModel(
+            eps_model=model, autoencoder=ae, latent_scaling_factor=float(factor),
+            n_steps=dc.n_steps, linear_start=dc.beta_start, linear_end=dc.beta_end,
+        )
+        z_shape = latent_shape_of(ae, d.image_size)
+        params = _load_params(model, z_shape, checkpoint)
+        diffusion = ldm.diffusion
+
+        def sample_fn(key, classes, x_init):
+            z0 = _run_sampler(
+                diffusion, model, params, key, classes, z_shape, x_init,
+                sampler, ddim_steps, eta, cfg,
+            )
+            return ldm.autoencoder_decode(ae_params, z0)
+
+        return GenerationService(
+            sample_fn, image_shape=z_shape, out_shape=pixel_shape,
+            num_classes=d.num_classes, batch_size=batch_size,
+            max_delay_s=max_delay_s,
+            base_seed=config.seed if base_seed is None else base_seed,
+        )
+
+    diffusion = build_diffusion(config)
+    params = _load_params(model, pixel_shape, checkpoint)
+
+    def sample_fn(key, classes, x_init):
+        return _run_sampler(
+            diffusion, model, params, key, classes, pixel_shape, x_init,
+            sampler, ddim_steps, eta, cfg,
+        )
+
+    return GenerationService(
+        sample_fn, image_shape=pixel_shape, num_classes=d.num_classes,
+        batch_size=batch_size, max_delay_s=max_delay_s,
+        base_seed=config.seed if base_seed is None else base_seed,
+    )
+
+
+def _run_sampler(diffusion, model, params, key, classes, shape, x_init,
+                 sampler, ddim_steps, eta, cfg):
+    if sampler == "ddim":
+        return diffusion.sample_ddim(
+            model.apply, params, key, classes, shape,
+            n_sample_steps=ddim_steps, eta=eta, cfg_scale=cfg,
+            null_label=model.num_classes, x_init=x_init,
+        )
+    return diffusion.sample(
+        model.apply, params, key, classes, shape, cfg_scale=cfg,
+        null_label=model.num_classes, x_init=x_init,
+    )
+
+
+def _load_params(model, input_shape, checkpoint: str):
+    """Load eps-model params and place them on device ONCE (a host tree fed to
+    a jitted sampler re-uploads ~81 MB per dispatch over the tunnel —
+    scripts/generate_images.py learned this the hard way)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ldm_tpu.training import checkpoint as ckpt
+
+    template = jax.jit(model.init)(
+        jax.random.key(0), jnp.zeros((1,) + tuple(input_shape)),
+        jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32),
+    )
+    if not os.path.exists(checkpoint):
+        raise FileNotFoundError(
+            f"diffusion checkpoint not found: {checkpoint} "
+            "(train first, or pass --checkpoint)"
+        )
+    return jax.device_put(ckpt.load_params(checkpoint, template))
+
+
+def _load_calibrated_scaling(config: Config) -> float:
+    """Read the trainer-resolved latent scaling constant from the run dir.
+
+    ``latent_scaling_factor: auto`` is calibrated on training data the serving
+    host may not have; the latent trainer writes the resolved constant to
+    ``<checkpoints>/latent_scaling.json`` at train start so inference-time
+    consumers reuse the identical number.
+    """
+    import json
+
+    path = os.path.join(config.checkpoints, "latent_scaling.json")
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"latent_scaling_factor is 'auto' but {path} does not exist — "
+            "train the latent model first (the trainer writes it), or set a "
+            "numeric latent_scaling_factor in the config"
+        )
+    with open(path) as f:
+        return float(json.load(f)["latent_scaling_factor"])

@@ -1,0 +1,304 @@
+"""Dynamic-batching generation service over a compiled sampler.
+
+The TPU-native serving design, shaped by the same constraints as the samplers:
+
+* **One compiled program, fixed shapes.**  XLA compiles per shape; a service
+  that dispatched each request at its own batch size would recompile on every
+  new size (~20-40 s per compile over the tunnel, CLAUDE.md).  Instead ONE
+  sampler is jitted at a fixed ``batch_size`` and requests are coalesced into
+  its slots; short batches are padded (padding slots ride along and are
+  dropped on the host).
+* **Batching is invisible to clients.**  Every slot's x_T is derived from its
+  request's seed (``fold_in(key(seed), slot_index)``), not from its position
+  in whatever batch it rode in — so with the deterministic DDIM sampler
+  (eta=0) a request's images are bit-identical no matter how the batcher
+  packed it, across batch boundaries and server restarts.  (The ancestral
+  DDPM sampler draws its per-step noise from a per-batch key, so its outputs
+  do depend on batch composition; the service defaults to DDIM for serving.)
+* **Host work overlaps device work.**  Device dispatch is async: the worker
+  dispatches batch k, then fulfils batch k-1 (uint8 conversion, future
+  resolution) while the device runs — the host never sits idle behind the
+  tunnel's dispatch latency, and the device never waits for PNG encoding.
+
+The reference's closest surface is the one-shot ``generate_images.py`` CLI
+(reference generate_images.py:29-41: a Python loop, one class per call); this
+service is the always-on, concurrent-clients version of that capability.
+"""
+
+from __future__ import annotations
+
+import collections
+import dataclasses
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Callable, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ldm_tpu.data.transforms import reverse_transform
+
+# sample_fn: (batch_key, classes int32 (B,), x_init float32 (B,H,W,C)) ->
+# float images in [-1, 1], shape (B,H,W,C).  The service jit-wraps it together
+# with per-slot x_T derivation so one dispatch covers everything.
+SampleFn = Callable[..., "np.ndarray"]
+
+
+@dataclasses.dataclass
+class ServiceStats:
+    """Monotonic counters + latency distribution, snapshot via ``stats()``."""
+
+    requests: int = 0
+    images: int = 0
+    batches: int = 0
+    padded_slots: int = 0
+    rejected: int = 0
+    uptime_s: float = 0.0
+    images_per_s: float = 0.0
+    queue_depth: int = 0
+    latency_p50_s: float = 0.0
+    latency_p95_s: float = 0.0
+
+    def as_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+class _Request:
+    __slots__ = ("class_ids", "seed", "images", "remaining", "t_submit",
+                 "future", "rejected")
+
+    def __init__(self, class_ids: np.ndarray, seed: int, image_shape):
+        self.class_ids = class_ids
+        # int32 key space: fold the seed in rather than overflow np.int32
+        self.seed = int(seed) & 0x7FFFFFFF
+        self.rejected = False
+        self.images = np.empty((len(class_ids),) + tuple(image_shape), np.uint8)
+        self.remaining = len(class_ids)
+        self.t_submit = time.monotonic()
+        self.future: Future = Future()
+
+
+class GenerationService:
+    """Coalesce concurrent generation requests into one fixed-batch sampler.
+
+    Args:
+      sample_fn: ``(key, classes, x_init) -> images`` in [-1, 1]; jittable.
+      image_shape: (H, W, C) of one generated image (for pixel models the
+        output shape; for latent models pass the LATENT shape here and do the
+        decode inside ``sample_fn`` with ``out_shape`` set to the pixel shape).
+      num_classes: valid class ids are [0, num_classes).
+      batch_size: the one compiled batch size (slots per dispatch).
+      max_delay_s: how long the batcher waits to fill a batch before
+        dispatching it padded.  Latency/throughput knob.
+      base_seed: folds into the per-batch key (ancestral-noise stream) and
+        serves as the auto-seed stream base for requests without a seed.
+      out_shape: (H, W, C) of ``sample_fn``'s output when it differs from
+        ``image_shape`` (latent-family decode).
+    """
+
+    def __init__(
+        self,
+        sample_fn: SampleFn,
+        *,
+        image_shape: Tuple[int, int, int],
+        num_classes: int,
+        batch_size: int = 64,
+        max_delay_s: float = 0.02,
+        base_seed: int = 0,
+        out_shape: Optional[Tuple[int, int, int]] = None,
+        queue_limit: int = 4096,
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        self._jax = jax
+        self.image_shape = tuple(image_shape)
+        self.out_shape = tuple(out_shape) if out_shape is not None else self.image_shape
+        self.num_classes = int(num_classes)
+        self.batch_size = int(batch_size)
+        self.max_delay_s = float(max_delay_s)
+        self.base_seed = int(base_seed)
+        if self.batch_size <= 0:
+            raise ValueError(f"batch_size must be positive, got {batch_size}")
+
+        shape = self.image_shape
+
+        def _batched(seeds, idxs, classes, batch_counter):
+            # Per-slot x_T from (seed, slot-index) — batching-invariant.
+            def slot_init(seed, idx):
+                k = jax.random.fold_in(jax.random.key(seed), idx)
+                return jax.random.normal(k, shape, jnp.float32)
+
+            x_init = jax.vmap(slot_init)(seeds, idxs)
+            key = jax.random.fold_in(jax.random.key(self.base_seed), batch_counter)
+            return sample_fn(key, classes, x_init)
+
+        self._compiled = jax.jit(_batched)
+        self._queue: "queue.Queue[Tuple[_Request, int]]" = queue.Queue(queue_limit)
+        self._lock = threading.Lock()
+        self._latencies: collections.deque = collections.deque(maxlen=1024)
+        self._stats = ServiceStats()
+        self._t_start = time.monotonic()
+        self._auto_seed = 0
+        self._batch_counter = 0
+        self._stop = threading.Event()
+        self._worker: Optional[threading.Thread] = None
+
+    # ------------------------------------------------------------- lifecycle
+    def start(self, warmup: bool = True) -> "GenerationService":
+        """Start the batching worker; optionally pay the compile up front."""
+        if self._worker is not None:
+            raise RuntimeError("service already started")
+        if warmup:
+            self._dispatch([])  # compile + one dummy batch before traffic
+        self._stop.clear()
+        self._worker = threading.Thread(
+            target=self._run, name="ldm-tpu-serving-batcher", daemon=True
+        )
+        self._worker.start()
+        return self
+
+    def stop(self, timeout: float = 30.0) -> None:
+        """Drain the queue, fulfil everything in flight, stop the worker."""
+        if self._worker is None:
+            return
+        self._stop.set()
+        self._worker.join(timeout)
+        self._worker = None
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()
+
+    # --------------------------------------------------------------- clients
+    def submit(
+        self,
+        class_id,
+        n: int = 1,
+        seed: Optional[int] = None,
+    ) -> Future:
+        """Request ``n`` images; returns a Future of uint8 (n, H, W, C).
+
+        ``class_id`` is one class for all n images, or a sequence of n ids.
+        ``seed=None`` draws from the service's auto-seed stream (still
+        deterministic for a fixed submission order).
+        """
+        if self._worker is None or self._stop.is_set():
+            raise RuntimeError("service is not running")
+        if n <= 0:
+            raise ValueError(f"n must be positive, got {n}")
+        if isinstance(class_id, (list, tuple, np.ndarray)):
+            ids = np.asarray(class_id, np.int32)
+            if ids.shape != (n,):
+                raise ValueError(f"class_id sequence must have length n={n}")
+        else:
+            ids = np.full((n,), int(class_id), np.int32)
+        if ids.min() < 0 or ids.max() >= self.num_classes:
+            raise ValueError(
+                f"class ids must be in [0, {self.num_classes}), got {ids.tolist()}"
+            )
+        with self._lock:
+            if seed is None:
+                seed = self.base_seed + self._auto_seed
+                self._auto_seed += 1
+            self._stats.requests += 1
+        req = _Request(ids, int(seed), self.out_shape)
+        try:
+            for i in range(n):
+                self._queue.put_nowait((req, i))
+        except queue.Full:
+            req.rejected = True  # already-enqueued slots must not set_result
+            with self._lock:
+                self._stats.rejected += 1
+            req.future.set_exception(
+                RuntimeError("service queue is full, request rejected")
+            )
+        return req.future
+
+    def stats(self) -> ServiceStats:
+        with self._lock:
+            s = dataclasses.replace(self._stats)
+            lat = sorted(self._latencies)
+        s.uptime_s = time.monotonic() - self._t_start
+        s.images_per_s = s.images / s.uptime_s if s.uptime_s > 0 else 0.0
+        s.queue_depth = self._queue.qsize()
+        if lat:
+            s.latency_p50_s = lat[len(lat) // 2]
+            s.latency_p95_s = lat[min(len(lat) - 1, int(len(lat) * 0.95))]
+        return s
+
+    # ---------------------------------------------------------------- worker
+    def _dispatch(self, slots: Sequence[Tuple[_Request, int]]):
+        """Assemble one padded batch and dispatch it (async on device)."""
+        b = self.batch_size
+        seeds = np.zeros((b,), np.int32)
+        idxs = np.zeros((b,), np.int32)
+        classes = np.zeros((b,), np.int32)
+        for j, (req, i) in enumerate(slots):
+            seeds[j] = req.seed
+            idxs[j] = i
+            classes[j] = req.class_ids[i]
+        with self._lock:
+            counter = self._batch_counter
+            self._batch_counter += 1
+            self._stats.batches += 1
+            self._stats.padded_slots += b - len(slots)
+        return self._compiled(seeds, idxs, classes, np.int32(counter))
+
+    def _fulfil(self, device_images, slots: Sequence[Tuple[_Request, int]]):
+        """Materialize a finished batch and resolve completed requests."""
+        images = reverse_transform(np.asarray(device_images))
+        now = time.monotonic()
+        done = []
+        for j, (req, i) in enumerate(slots):
+            req.images[i] = images[j]
+            req.remaining -= 1
+            if req.remaining == 0 and not req.rejected:
+                done.append(req)
+        with self._lock:
+            self._stats.images += len(slots)
+            for req in done:
+                self._latencies.append(now - req.t_submit)
+        for req in done:
+            req.future.set_result(req.images)
+
+    def _collect(self) -> list:
+        """Block for the first slot, then fill the batch until the deadline."""
+        try:
+            first = self._queue.get(timeout=0.05)
+        except queue.Empty:
+            return []
+        slots = [first]
+        deadline = time.monotonic() + self.max_delay_s
+        while len(slots) < self.batch_size:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                try:  # deadline passed: take only what's already queued
+                    slots.append(self._queue.get_nowait())
+                    continue
+                except queue.Empty:
+                    break
+            try:
+                slots.append(self._queue.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return slots
+
+    def _run(self):
+        pending = None  # (device_images, slots) of the batch in flight
+        while True:
+            slots = self._collect()
+            if slots:
+                out = self._dispatch(slots)
+                if pending is not None:
+                    self._fulfil(*pending)  # host work while the device runs
+                pending = (out, slots)
+            else:
+                if pending is not None:
+                    self._fulfil(*pending)
+                    pending = None
+                if self._stop.is_set() and self._queue.empty():
+                    return

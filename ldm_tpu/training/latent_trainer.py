@@ -48,6 +48,26 @@ def resolve_latent_scaling(config: Config, autoencoder, ae_params, train_loader)
     )
 
 
+def _persist_latent_scaling(config: Config, factor: float) -> None:
+    """Write the resolved scaling constant next to the checkpoints.
+
+    ``latent_scaling_factor: auto`` is calibrated on TRAINING data
+    (resolve_latent_scaling); inference-time consumers that don't hold the
+    training set (ldm_tpu/serving/builder.py) must reuse the identical
+    constant — a mismatched decode scale is this family's authentic failure
+    mode (RESULTS.md, probe22 vs probe23).  Process-0-only like every other
+    checkpoint write."""
+    import json
+    import os
+
+    if jax.process_index() != 0:
+        return
+    os.makedirs(config.checkpoints, exist_ok=True)
+    path = os.path.join(config.checkpoints, "latent_scaling.json")
+    with open(path, "w") as f:
+        json.dump({"latent_scaling_factor": float(factor)}, f)
+
+
 def latent_shape_of(autoencoder, image_size: int):
     """Spatial downsampling is 2^(n_resolutions - 1) (reference Encoder downsamples
     after every top-level block except the last, src/Autoencoder.py:241-244)."""
@@ -70,6 +90,7 @@ class LatentDiffusionTrainer(DiffusionTrainer):
     ):
         self.ldm = ldm
         self.ae_params = ae_params
+        _persist_latent_scaling(config, ldm.latent_scaling_factor)
         z_shape = latent_shape_of(ldm.autoencoder, config.data.image_size)
         super().__init__(
             config, ldm.eps_model, ldm.diffusion, train_loader, val_loader,
