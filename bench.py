@@ -572,6 +572,30 @@ def main():
         _times.append(time.perf_counter() - _t0)
     ddim50_imgs = _ddim_reps * best_batch / min(_times) / n_chips
 
+    # capability-plus: DPM-Solver++(2M) at 10 steps (diffusion/ddpm.py
+    # sample_dpmpp) — the second-order multistep sampler holds DDIM-50-class
+    # classifier-FID at ~10 model evals (perf/probe30.json).  Same reps-in-one-
+    # dispatch discipline; more reps because each run is 5x shorter.
+    _dpmpp_reps = 16
+
+    @jax.jit
+    def _dpmpp_run(params, key):
+        def one(_, k):
+            x0 = d400.sample_dpmpp(model.apply, params, k, classes_ddim,
+                                   (32, 32, 3), n_sample_steps=10,
+                                   cfg_scale=3.0, null_label=10)
+            return None, x0
+        _, xs = jax.lax.scan(one, None, jax.random.split(key, _dpmpp_reps))
+        return xs
+
+    np.asarray(_dpmpp_run(params, jax.random.key(0)))
+    _times = []
+    for i in range(3):
+        _t0 = time.perf_counter()
+        np.asarray(_dpmpp_run(params, jax.random.key(i + 1)))
+        _times.append(time.perf_counter() - _t0)
+    dpmpp10_imgs = _dpmpp_reps * best_batch / min(_times) / n_chips
+
     # ---- baselines: the style sweep and the torch-CPU measurement cache
     # independently (a failed torch import must not discard the expensive
     # same-chip style sweep, and vice versa).
@@ -666,6 +690,7 @@ def main():
         ),
         "latent_sampling_images_per_sec_per_chip": round(latent_imgs / n_chips, 3),
         "ddim50_images_per_sec_per_chip": round(ddim50_imgs, 3),
+        "dpmpp10_images_per_sec_per_chip": round(dpmpp10_imgs, 3),
         "t400_images_per_sec_per_chip": round(t400_imgs, 3),
         "batch": best_batch,
         # model FLOPs utilization of the sampler at the headline batch, from

@@ -10,7 +10,9 @@ Serving defaults to the deterministic DDIM sampler (eta=0): besides being
 the sampler whose outputs are bit-reproducible per request seed regardless of
 how the batcher packed the request (see service.py's per-slot x_T design).
 ``sampler="ddpm"`` serves the full ancestral loop when sample quality at
-lightly-trained checkpoints matters more than latency.
+lightly-trained checkpoints matters more than latency; ``sampler="dpmpp"``
+(DPM-Solver++ 2M) is also deterministic and reaches DDIM-50-class quality at
+~10-15 steps — the highest-throughput serving configuration.
 """
 
 from __future__ import annotations
@@ -50,8 +52,8 @@ def build_generation_service(
     from ldm_tpu.factory import build_diffusion, build_model, compute_dtype
     from ldm_tpu.training import checkpoint as ckpt
 
-    if sampler not in ("ddim", "ddpm"):
-        raise ValueError(f"sampler must be ddim or ddpm, got {sampler!r}")
+    if sampler not in ("ddim", "ddpm", "dpmpp"):
+        raise ValueError(f"sampler must be ddim, ddpm or dpmpp, got {sampler!r}")
     cfg = config.diffusion.cfg_scale if cfg_scale is None else cfg_scale
     d = config.data
     pixel_shape = (d.image_size, d.image_size, d.image_channels)
@@ -130,6 +132,14 @@ def _run_sampler(diffusion, model, params, key, classes, shape, x_init,
         return diffusion.sample_ddim(
             model.apply, params, key, classes, shape,
             n_sample_steps=ddim_steps, eta=eta, cfg_scale=cfg,
+            null_label=model.num_classes, x_init=x_init,
+        )
+    if sampler == "dpmpp":
+        # deterministic like DDIM eta=0 — per-request reproducibility under
+        # dynamic batching holds for it too (service.py per-slot x_T design)
+        return diffusion.sample_dpmpp(
+            model.apply, params, key, classes, shape,
+            n_sample_steps=ddim_steps, cfg_scale=cfg,
             null_label=model.num_classes, x_init=x_init,
         )
     return diffusion.sample(

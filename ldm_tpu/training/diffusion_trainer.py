@@ -317,6 +317,15 @@ class DiffusionTrainer:
                     n_sample_steps=ddim_steps, eta=eta, cfg_scale=cfg_scale,
                     null_label=model.num_classes,
                 )
+            elif method == "dpmpp":
+                # second-order multistep (ddpm.py sample_dpmpp): DDIM-50
+                # quality at ~10-15 model evals; `ddim_steps` names the
+                # step budget for both few-step samplers
+                x0 = diffusion.sample_dpmpp(
+                    apply_fn, params, key, classes, self.image_shape,
+                    n_sample_steps=ddim_steps, cfg_scale=cfg_scale,
+                    null_label=model.num_classes,
+                )
             else:
                 x0 = diffusion.sample(
                     apply_fn, params, key, classes, self.image_shape,

@@ -31,7 +31,7 @@ def main() -> None:
     ap.add_argument("--classifier-epochs", type=int, default=None)
     # capability-plus: few-step DDIM generation for Phase C (the reference
     # protocol's default stays ancestral DDPM)
-    ap.add_argument("--sampler", choices=("ddpm", "ddim"), default="ddpm")
+    ap.add_argument("--sampler", choices=("ddpm", "ddim", "dpmpp"), default="ddpm")
     ap.add_argument("--ddim-steps", type=int, default=50)
     ap.add_argument("--negative-control", action="store_true",
                     help="also generate a deliberately broken synthetic set "

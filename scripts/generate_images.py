@@ -26,7 +26,7 @@ def main() -> None:
     ap.add_argument("--cpu", action="store_true")
     # capability-plus over the reference: few-step DDIM sampling with the same
     # trained weights (ldm_tpu/diffusion/ddpm.py sample_ddim)
-    ap.add_argument("--sampler", choices=("ddpm", "ddim"), default="ddpm")
+    ap.add_argument("--sampler", choices=("ddpm", "ddim", "dpmpp"), default="ddpm")
     ap.add_argument("--ddim-steps", type=int, default=50)
     ap.add_argument("--eta", type=float, default=0.0,
                     help="DDIM stochasticity (0 = deterministic)")
@@ -71,6 +71,13 @@ def main() -> None:
             lambda p, k, y: diffusion.sample_ddim(
                 model.apply, p, k, y, shape, n_sample_steps=args.ddim_steps,
                 eta=args.eta, cfg_scale=cfg_scale, null_label=model.num_classes,
+            )
+        )
+    elif args.sampler == "dpmpp":
+        sampler = jax.jit(
+            lambda p, k, y: diffusion.sample_dpmpp(
+                model.apply, p, k, y, shape, n_sample_steps=args.ddim_steps,
+                cfg_scale=cfg_scale, null_label=model.num_classes,
             )
         )
     else:

@@ -26,7 +26,7 @@ def main() -> None:
     ap.add_argument("--checkpoint", default=None,
                     help="eps-model params (default: run dir's best/EMA)")
     ap.add_argument("--ema", action=argparse.BooleanOptionalAction, default=True)
-    ap.add_argument("--sampler", choices=("ddim", "ddpm"), default="ddim")
+    ap.add_argument("--sampler", choices=("ddim", "ddpm", "dpmpp"), default="ddim")
     ap.add_argument("--ddim-steps", type=int, default=50)
     ap.add_argument("--eta", type=float, default=0.0)
     ap.add_argument("--cfg-scale", type=float, default=None)

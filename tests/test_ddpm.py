@@ -228,3 +228,109 @@ def test_ddim_subsequence_shorter_is_cheaper_but_valid(diff):
                                cfg_scale=3.0, null_label=10)
         assert out.shape == (2, 2, 2, 1)
         assert np.isfinite(np.asarray(out)).all()
+
+
+# ----------------------------------------------------------- DPM-Solver++(2M)
+def test_dpmpp_coeffs_finite_and_edges(diff):
+    """All precomputed coefficients are finite; the first step and the final
+    analytic to-x0 projection are first-order (c2=0); the final step has
+    c_x=0, c_d=1 (x -> x0_pred exactly)."""
+    sub, c_x, c_d, c2 = diff._dpmpp_coeffs(5)
+    for arr in (c_x, c_d, c2):
+        assert np.isfinite(arr).all()
+    assert sub[0] == diff.n_steps - 1 and sub[-1] == 0
+    assert c2[0] == 0.0 and c2[-1] == 0.0
+    assert (c2[1:-1] > 0).all()
+    assert c_x[-1] == 0.0 and np.isclose(c_d[-1], 1.0)
+    # interior: c_x = sigma_t/sigma_s, c_d = -alpha_t*expm1(-h), h from lambda
+    ab = np.asarray(diff.schedule.alpha_bars, np.float64)
+    s_, t_ = sub[0], sub[1]
+    lam = lambda i: 0.5 * (np.log(ab[i]) - np.log1p(-ab[i]))  # noqa: E731
+    h = lam(t_) - lam(s_)
+    np.testing.assert_allclose(c_x[0], np.sqrt((1 - ab[t_]) / (1 - ab[s_])), rtol=1e-12)
+    np.testing.assert_allclose(c_d[0], -np.sqrt(ab[t_]) * np.expm1(-h), rtol=1e-10)
+
+
+def test_dpmpp_constant_x0_model_is_exact_any_steps():
+    """A model whose x0-prediction is a constant c (eps chosen accordingly)
+    makes the probability-flow ODE solvable in closed form, and the
+    exponential-integrator update is EXACT for it — at any step count the
+    sampler must return exactly c."""
+    diff = GaussianDiffusion(n_steps=50)
+    ab = diff.schedule.alpha_bars
+    c = 0.37
+
+    def model(params, x, t, y):
+        ab_t = gather(ab, t)
+        return (x - jnp.sqrt(ab_t) * c) * jax.lax.rsqrt(1.0 - ab_t)
+
+    x_init = jax.random.normal(jax.random.key(11), (2, 3, 3, 1), jnp.float32)
+    for steps in (1, 2, 4, 13):
+        out = diff.sample_dpmpp(model, {}, jax.random.key(0), jnp.array([0, 1]),
+                                (3, 3, 1), n_sample_steps=steps, cfg_scale=0.0,
+                                x_init=x_init)
+        np.testing.assert_allclose(np.asarray(out), c, rtol=0, atol=5e-5)
+
+
+def test_dpmpp_zero_eps_telescopes(diff):
+    """eps == 0 keeps x/alpha invariant along the exact ODE flow; the 2M
+    update preserves that invariant exactly: x_0 = x_T / sqrt(alpha_bar_{T-1})
+    (the same closed form as the DDIM telescoping test)."""
+    zero_model = lambda p, x, t, y: jnp.zeros_like(x)  # noqa: E731
+    x_init = jax.random.normal(jax.random.key(12), (2, 2, 2, 1), jnp.float32)
+    for steps in (3, diff.n_steps):
+        out = diff.sample_dpmpp(zero_model, {}, jax.random.key(0),
+                                jnp.array([0, 1]), (2, 2, 1),
+                                n_sample_steps=steps, cfg_scale=0.0,
+                                x_init=x_init)
+        want = np.asarray(x_init) / np.sqrt(float(diff.schedule.alpha_bars[-1]))
+        np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4, atol=1e-5)
+
+
+def test_dpmpp_second_order_beats_ddim_at_few_steps():
+    """On a smooth nonlinear model both samplers solve the same ODE; at a
+    small step budget the 2M multistep must land closer to the fine-grid
+    solution than first-order DDIM."""
+    diff = GaussianDiffusion(n_steps=100)
+    params = {"scale": jnp.float32(0.3)}
+    classes = jnp.array([0, 1])
+    x_init = jax.random.normal(jax.random.key(13), (2, 2, 2, 1), jnp.float32)
+    kw = dict(cfg_scale=3.0, null_label=10, x_init=x_init)
+    truth = diff.sample_ddim(_toy_eps_model, params, jax.random.key(0), classes,
+                             (2, 2, 1), n_sample_steps=100, eta=0.0, **kw)
+    few_ddim = diff.sample_ddim(_toy_eps_model, params, jax.random.key(0),
+                                classes, (2, 2, 1), n_sample_steps=8, eta=0.0,
+                                **kw)
+    few_dpmpp = diff.sample_dpmpp(_toy_eps_model, params, jax.random.key(0),
+                                  classes, (2, 2, 1), n_sample_steps=8, **kw)
+    err_ddim = float(jnp.abs(few_ddim - truth).max())
+    err_dpmpp = float(jnp.abs(few_dpmpp - truth).max())
+    assert err_dpmpp < err_ddim, (err_dpmpp, err_ddim)
+    # isolate the 2M term: order=1 on the SAME uniform-lambda grid is worse
+    few_o1 = diff.sample_dpmpp(_toy_eps_model, params, jax.random.key(0),
+                               classes, (2, 2, 1), n_sample_steps=8, order=1,
+                               **kw)
+    err_o1 = float(jnp.abs(few_o1 - truth).max())
+    assert err_dpmpp < err_o1, (err_dpmpp, err_o1)
+    # and the fine-grid dpmpp agrees with the fine-grid ddim (same ODE)
+    fine = diff.sample_dpmpp(_toy_eps_model, params, jax.random.key(0), classes,
+                             (2, 2, 1), n_sample_steps=100, **kw)
+    np.testing.assert_allclose(np.asarray(fine), np.asarray(truth),
+                               rtol=5e-3, atol=5e-4)
+
+
+def test_dpmpp_deterministic_and_cfg_validation(diff):
+    """Deterministic given x_init (the key only seeds x_T); CFG without a
+    null label raises like the other samplers."""
+    params = {"scale": jnp.float32(0.1)}
+    classes = jnp.array([0, 1, 2, 3])
+    x_init = jax.random.normal(jax.random.key(14), (4, 4, 4, 1), jnp.float32)
+    f = jax.jit(lambda k: diff.sample_dpmpp(
+        _toy_eps_model, params, k, classes, (4, 4, 1), n_sample_steps=6,
+        cfg_scale=3.0, null_label=10, x_init=x_init))
+    a, b = f(jax.random.key(1)), f(jax.random.key(2))
+    assert a.shape == (4, 4, 4, 1)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    with pytest.raises(ValueError):
+        diff.sample_dpmpp(_toy_eps_model, params, jax.random.key(0),
+                          jnp.array([0]), (2, 2, 1), cfg_scale=3.0)

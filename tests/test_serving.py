@@ -249,11 +249,16 @@ def test_builder_real_model_smoke(tmp_path):
     with pytest.raises(FileNotFoundError):
         build_generation_service(cfg, checkpoint=str(tmp_path / "nope.msgpack"))
 
-    svc = build_generation_service(
-        cfg, sampler="ddim", ddim_steps=2, batch_size=4, max_delay_s=0.01,
-    )
-    with svc:
-        a = svc.submit(1, n=2, seed=5).result(timeout=120)
-        b = svc.submit(1, n=2, seed=5).result(timeout=120)
-    assert a.shape == (2, 8, 8, 1) and a.dtype == np.uint8
-    np.testing.assert_array_equal(a, b)  # DDIM eta=0: seed-deterministic
+    with pytest.raises(ValueError):
+        build_generation_service(cfg, sampler="euler")
+
+    # both deterministic few-step samplers serve and are seed-reproducible
+    for sampler in ("ddim", "dpmpp"):
+        svc = build_generation_service(
+            cfg, sampler=sampler, ddim_steps=2, batch_size=4, max_delay_s=0.01,
+        )
+        with svc:
+            a = svc.submit(1, n=2, seed=5).result(timeout=120)
+            b = svc.submit(1, n=2, seed=5).result(timeout=120)
+        assert a.shape == (2, 8, 8, 1) and a.dtype == np.uint8
+        np.testing.assert_array_equal(a, b)  # eta=0: seed-deterministic
