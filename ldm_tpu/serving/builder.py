@@ -36,6 +36,7 @@ def build_generation_service(
     batch_size: int = 64,
     max_delay_s: float = 0.02,
     base_seed: Optional[int] = None,
+    mesh=None,
 ) -> GenerationService:
     """Build (not start) a GenerationService for a pixel or latent config.
 
@@ -45,6 +46,8 @@ def build_generation_service(
       checkpoint: eps-model params path; defaults to the config run dir's
         best checkpoint (EMA weights when ``use_ema``).
       cfg_scale: guidance scale; defaults to ``config.diffusion.cfg_scale``.
+      mesh: optional ``jax.sharding.Mesh`` — params replicated over it,
+        batch slots data-sharded (DP serving; see GenerationService).
     """
     import jax
     import jax.numpy as jnp
@@ -82,6 +85,7 @@ def build_generation_service(
                 ckpt.load_params(config.ae_checkpoint, ae_template))
         else:  # tests / smoke
             ae_params = ae_template
+        ae_params = _place(ae_params, mesh)
         factor = config.diffusion.latent_scaling_factor
         if factor == "auto":
             # train-time calibration needs the training data; serving loads
@@ -93,7 +97,7 @@ def build_generation_service(
             n_steps=dc.n_steps, linear_start=dc.beta_start, linear_end=dc.beta_end,
         )
         z_shape = latent_shape_of(ae, d.image_size)
-        params = _load_params(model, z_shape, checkpoint)
+        params = _load_params(model, z_shape, checkpoint, mesh)
         diffusion = ldm.diffusion
 
         def sample_fn(key, classes, x_init):
@@ -108,10 +112,11 @@ def build_generation_service(
             num_classes=d.num_classes, batch_size=batch_size,
             max_delay_s=max_delay_s,
             base_seed=config.seed if base_seed is None else base_seed,
+            mesh=mesh,
         )
 
     diffusion = build_diffusion(config)
-    params = _load_params(model, pixel_shape, checkpoint)
+    params = _load_params(model, pixel_shape, checkpoint, mesh)
 
     def sample_fn(key, classes, x_init):
         return _run_sampler(
@@ -123,6 +128,7 @@ def build_generation_service(
         sample_fn, image_shape=pixel_shape, num_classes=d.num_classes,
         batch_size=batch_size, max_delay_s=max_delay_s,
         base_seed=config.seed if base_seed is None else base_seed,
+        mesh=mesh,
     )
 
 
@@ -148,10 +154,11 @@ def _run_sampler(diffusion, model, params, key, classes, shape, x_init,
     )
 
 
-def _load_params(model, input_shape, checkpoint: str):
+def _load_params(model, input_shape, checkpoint: str, mesh=None):
     """Load eps-model params and place them on device ONCE (a host tree fed to
     a jitted sampler re-uploads ~81 MB per dispatch over the tunnel —
-    scripts/generate_images.py learned this the hard way)."""
+    scripts/generate_images.py learned this the hard way).  With a mesh the
+    params are replicated across it (DP serving)."""
     import jax
     import jax.numpy as jnp
 
@@ -166,7 +173,18 @@ def _load_params(model, input_shape, checkpoint: str):
             f"diffusion checkpoint not found: {checkpoint} "
             "(train first, or pass --checkpoint)"
         )
-    return jax.device_put(ckpt.load_params(checkpoint, template))
+    return _place(jax.device_put(ckpt.load_params(checkpoint, template)), mesh)
+
+
+def _place(tree, mesh):
+    """Replicate a param tree over a serving mesh (no-op without one)."""
+    if mesh is None:
+        return tree
+    import jax
+
+    from ldm_tpu.parallel.mesh import replicated
+
+    return jax.device_put(tree, replicated(mesh))
 
 
 def _load_calibrated_scaling(config: Config) -> float:

@@ -37,6 +37,10 @@ def main() -> None:
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--mesh", action="store_true",
+                    help="serve data-parallel over ALL local devices: batch "
+                         "slots sharded on the mesh's data axis, params "
+                         "replicated (per-request determinism preserved)")
     args = ap.parse_args()
 
     import jax
@@ -48,11 +52,19 @@ def main() -> None:
     from ldm_tpu.serving import GenerationHTTPServer
     from ldm_tpu.serving.builder import build_generation_service
 
+    mesh = None
+    if args.mesh:
+        from ldm_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh()
+        print(f"serving mesh: {dict(mesh.shape)}", flush=True)
+
     config = load_config(args.config)
     service = build_generation_service(
         config, args.checkpoint, use_ema=args.ema, sampler=args.sampler,
         ddim_steps=args.ddim_steps, eta=args.eta, cfg_scale=args.cfg_scale,
         batch_size=args.batch_size, max_delay_s=args.max_delay_ms / 1e3,
+        mesh=mesh,
     )
     print(f"compiling the {args.sampler} sampler at batch {args.batch_size} "
           "(first compile is the slow part)...", flush=True)

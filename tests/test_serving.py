@@ -262,3 +262,76 @@ def test_builder_real_model_smoke(tmp_path):
             b = svc.submit(1, n=2, seed=5).result(timeout=120)
         assert a.shape == (2, 8, 8, 1) and a.dtype == np.uint8
         np.testing.assert_array_equal(a, b)  # eta=0: seed-deterministic
+
+
+# ------------------------------------------------------------ mesh serving
+
+
+def test_mesh_serving_matches_single_device():
+    """DP serving over the 8-device mesh: outputs bit-identical to the
+    meshless service (per-slot determinism is placement-independent), and
+    the compiled program's output is genuinely batch-sharded."""
+    from ldm_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh()
+    n_dev = mesh.shape["data"] * mesh.shape["model"]
+    assert n_dev == 8  # conftest's virtual CPU mesh
+
+    reqs = [(c, 3, 100 + c) for c in range(5)]  # (class, n, seed)
+    outs = {}
+    for name, kw in (("plain", {}), ("mesh", {"mesh": mesh})):
+        with make_service(xinit_sampler, batch_size=8, **kw) as svc:
+            futs = [svc.submit(c, n=n, seed=s) for c, n, s in reqs]
+            outs[name] = [f.result(timeout=60) for f in futs]
+    for a, b in zip(outs["plain"], outs["mesh"]):
+        np.testing.assert_array_equal(a, b)
+
+    # the dispatch really shards: 8 slots over 8 devices
+    svc = make_service(xinit_sampler, batch_size=8, mesh=mesh)
+    out = svc._dispatch([])
+    assert len(out.sharding.device_set) == 8
+
+
+def test_mesh_serving_batch_divisibility():
+    from ldm_tpu.parallel.mesh import create_mesh
+
+    with pytest.raises(ValueError, match="divide"):
+        make_service(batch_size=6, mesh=create_mesh())
+
+
+def test_builder_mesh_smoke(tmp_path):
+    """Tiny real UNet served over the mesh through the builder."""
+    from ldm_tpu.config import Config, DataConfig, DiffusionConfig, ModelConfig
+    from ldm_tpu.factory import build_model
+    from ldm_tpu.parallel.mesh import create_mesh
+    from ldm_tpu.serving.builder import build_generation_service
+    from ldm_tpu.training import checkpoint as ckpt
+
+    cfg = Config(
+        project_name="serve_mesh", workdir=str(tmp_path), use_amp=False,
+        seed=0,
+        model=ModelConfig(params=dict(
+            in_channels=1, out_channels=1, channels=8,
+            channel_multipliers=[1], num_classes=NUM_CLASSES,
+        )),
+        diffusion=DiffusionConfig(n_steps=8, cfg_scale=3),
+        data=DataConfig(dataset="SYNTHETIC", image_size=8, image_channels=1),
+    )
+    cfg.create_dirs()
+    model = build_model(cfg)
+    params = jax.jit(model.init)(
+        jax.random.key(0), jnp.zeros((1, 8, 8, 1)),
+        jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32),
+    )
+    ckpt.save_params(f"{cfg.checkpoints}/diffusion_model_ema.msgpack", params)
+
+    single = build_generation_service(
+        cfg, sampler="dpmpp", ddim_steps=2, batch_size=8, max_delay_s=0.01)
+    meshed = build_generation_service(
+        cfg, sampler="dpmpp", ddim_steps=2, batch_size=8, max_delay_s=0.01,
+        mesh=create_mesh())
+    with single:
+        a = single.submit(1, n=2, seed=5).result(timeout=120)
+    with meshed:
+        b = meshed.submit(1, n=2, seed=5).result(timeout=120)
+    np.testing.assert_array_equal(a, b)
