@@ -596,6 +596,35 @@ def main():
         _times.append(time.perf_counter() - _t0)
     dpmpp10_imgs = _dpmpp_reps * best_batch / min(_times) / n_chips
 
+    # capability-plus: 2-step consistency sampling (diffusion/consistency.py)
+    # — a DISTILLED student's rate (weight-independent; quality evidence in
+    # perf/probe33.json from an actual distillation of the protocol
+    # checkpoint).  Two B-batch forwards per image, NO guidance pass — the
+    # per-image device cost is ~100x below DDIM-50+CFG, so many reps per
+    # dispatch to out-amortize the tunnel.
+    from ldm_tpu.diffusion.consistency import sample_consistency
+    from ldm_tpu.training.consistency_trainer import sampling_timesteps
+
+    _cm_reps = 64
+    _cm_ts = sampling_timesteps(400, 2)
+
+    @jax.jit
+    def _cm_run(params, key):
+        def one(_, k):
+            x0 = sample_consistency(d400, model.apply, params, k,
+                                    classes_ddim, (32, 32, 3), ts=_cm_ts)
+            return None, x0
+        _, xs = jax.lax.scan(one, None, jax.random.split(key, _cm_reps))
+        return xs
+
+    np.asarray(_cm_run(params, jax.random.key(0)))
+    _times = []
+    for i in range(3):
+        _t0 = time.perf_counter()
+        np.asarray(_cm_run(params, jax.random.key(i + 1)))
+        _times.append(time.perf_counter() - _t0)
+    consistency2_imgs = _cm_reps * best_batch / min(_times) / n_chips
+
     # ---- baselines: the style sweep and the torch-CPU measurement cache
     # independently (a failed torch import must not discard the expensive
     # same-chip style sweep, and vice versa).
@@ -691,6 +720,7 @@ def main():
         "latent_sampling_images_per_sec_per_chip": round(latent_imgs / n_chips, 3),
         "ddim50_images_per_sec_per_chip": round(ddim50_imgs, 3),
         "dpmpp10_images_per_sec_per_chip": round(dpmpp10_imgs, 3),
+        "consistency2_images_per_sec_per_chip": round(consistency2_imgs, 3),
         "t400_images_per_sec_per_chip": round(t400_imgs, 3),
         "batch": best_batch,
         # model FLOPs utilization of the sampler at the headline batch, from

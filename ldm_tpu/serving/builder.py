@@ -12,7 +12,10 @@ how the batcher packed the request (see service.py's per-slot x_T design).
 ``sampler="ddpm"`` serves the full ancestral loop when sample quality at
 lightly-trained checkpoints matters more than latency; ``sampler="dpmpp"``
 (DPM-Solver++ 2M) is also deterministic and reaches DDIM-50-class quality at
-~10-15 steps — the highest-throughput serving configuration.
+~10-15 steps; ``sampler="consistency"`` serves a DISTILLED student
+(scripts/distill_consistency.py — checkpoint default switches to
+``consistency_model_ema.msgpack``) at 1-4 guidance-free forwards per image,
+with per-slot re-noise keys so multistep sampling stays batching-invariant.
 """
 
 from __future__ import annotations
@@ -55,15 +58,18 @@ def build_generation_service(
     from ldm_tpu.factory import build_diffusion, build_model, compute_dtype
     from ldm_tpu.training import checkpoint as ckpt
 
-    if sampler not in ("ddim", "ddpm", "dpmpp"):
-        raise ValueError(f"sampler must be ddim, ddpm or dpmpp, got {sampler!r}")
+    if sampler not in ("ddim", "ddpm", "dpmpp", "consistency"):
+        raise ValueError(
+            f"sampler must be ddim, ddpm, dpmpp or consistency, got {sampler!r}"
+        )
     cfg = config.diffusion.cfg_scale if cfg_scale is None else cfg_scale
     d = config.data
     pixel_shape = (d.image_size, d.image_size, d.image_channels)
     model = build_model(config)
 
     if checkpoint is None:
-        name = "diffusion_model_ema.msgpack" if use_ema else "diffusion_model.msgpack"
+        stem = "consistency_model" if sampler == "consistency" else "diffusion_model"
+        name = f"{stem}_ema.msgpack" if use_ema else f"{stem}.msgpack"
         checkpoint = os.path.join(config.checkpoints, name)
 
     if config.type == "latent":
@@ -100,10 +106,10 @@ def build_generation_service(
         params = _load_params(model, z_shape, checkpoint, mesh)
         diffusion = ldm.diffusion
 
-        def sample_fn(key, classes, x_init):
+        def sample_fn(key, classes, x_init, slot_keys=None):
             z0 = _run_sampler(
                 diffusion, model, params, key, classes, z_shape, x_init,
-                sampler, ddim_steps, eta, cfg,
+                sampler, ddim_steps, eta, cfg, slot_keys,
             )
             return ldm.autoencoder_decode(ae_params, z0)
 
@@ -112,28 +118,40 @@ def build_generation_service(
             num_classes=d.num_classes, batch_size=batch_size,
             max_delay_s=max_delay_s,
             base_seed=config.seed if base_seed is None else base_seed,
-            mesh=mesh,
+            mesh=mesh, per_slot_keys=(sampler == "consistency"),
         )
 
     diffusion = build_diffusion(config)
     params = _load_params(model, pixel_shape, checkpoint, mesh)
 
-    def sample_fn(key, classes, x_init):
+    def sample_fn(key, classes, x_init, slot_keys=None):
         return _run_sampler(
             diffusion, model, params, key, classes, pixel_shape, x_init,
-            sampler, ddim_steps, eta, cfg,
+            sampler, ddim_steps, eta, cfg, slot_keys,
         )
 
     return GenerationService(
         sample_fn, image_shape=pixel_shape, num_classes=d.num_classes,
         batch_size=batch_size, max_delay_s=max_delay_s,
         base_seed=config.seed if base_seed is None else base_seed,
-        mesh=mesh,
+        mesh=mesh, per_slot_keys=(sampler == "consistency"),
     )
 
 
 def _run_sampler(diffusion, model, params, key, classes, shape, x_init,
-                 sampler, ddim_steps, eta, cfg):
+                 sampler, ddim_steps, eta, cfg, slot_keys=None):
+    if sampler == "consistency":
+        # distilled student: guidance-free, ``ddim_steps`` doubles as the
+        # consistency step count (1-4 is the useful range); per-slot keys
+        # keep the multistep re-noise batching-invariant (service contract)
+        from ldm_tpu.diffusion.consistency import sample_consistency
+        from ldm_tpu.training.consistency_trainer import sampling_timesteps
+
+        return sample_consistency(
+            diffusion, model.apply, params, key, classes, shape,
+            ts=sampling_timesteps(diffusion.n_steps, ddim_steps),
+            x_init=x_init, slot_keys=slot_keys,
+        )
     if sampler == "ddim":
         return diffusion.sample_ddim(
             model.apply, params, key, classes, shape,

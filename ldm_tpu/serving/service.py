@@ -103,6 +103,10 @@ class GenerationService:
         ``batch_size`` must divide by the data-axis size.  Per-slot
         determinism is preserved: a slot's x_T depends only on
         (request seed, slot index), never on which device ran it.
+      per_slot_keys: pass each slot's PRNG key (the one its x_T derives
+        from) to ``sample_fn`` as a 4th argument — for samplers that draw
+        noise INSIDE the loop (multistep consistency) and must stay
+        batching-invariant per request.
     """
 
     def __init__(
@@ -117,6 +121,7 @@ class GenerationService:
         out_shape: Optional[Tuple[int, int, int]] = None,
         queue_limit: int = 4096,
         mesh=None,
+        per_slot_keys: bool = False,
     ):
         import jax
         import jax.numpy as jnp
@@ -135,13 +140,17 @@ class GenerationService:
 
         def _batched(seeds, idxs, classes, batch_counter):
             # Per-slot x_T from (seed, slot-index) — batching-invariant.
-            def slot_init(seed, idx):
-                k = jax.random.fold_in(jax.random.key(seed), idx)
-                return jax.random.normal(k, shape, jnp.float32)
-
-            x_init = jax.vmap(slot_init)(seeds, idxs)
+            slot_key = jax.vmap(
+                lambda seed, idx: jax.random.fold_in(jax.random.key(seed), idx)
+            )(seeds, idxs)
+            x_init = jax.vmap(
+                lambda k: jax.random.normal(k, shape, jnp.float32)
+            )(slot_key)
             key = jax.random.fold_in(jax.random.key(self.base_seed), batch_counter)
-            out = sample_fn(key, classes, x_init)
+            if per_slot_keys:
+                out = sample_fn(key, classes, x_init, slot_key)
+            else:
+                out = sample_fn(key, classes, x_init)
             # uint8 packing ON DEVICE: 4x less tunnel transfer per batch and
             # zero host conversion work in the fulfil path (the worker's
             # single core is the measured serving bottleneck — probe31).

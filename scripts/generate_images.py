@@ -26,8 +26,12 @@ def main() -> None:
     ap.add_argument("--cpu", action="store_true")
     # capability-plus over the reference: few-step DDIM sampling with the same
     # trained weights (ldm_tpu/diffusion/ddpm.py sample_ddim)
-    ap.add_argument("--sampler", choices=("ddpm", "ddim", "dpmpp"), default="ddpm")
-    ap.add_argument("--ddim-steps", type=int, default=50)
+    ap.add_argument("--sampler",
+                    choices=("ddpm", "ddim", "dpmpp", "consistency"),
+                    default="ddpm")
+    ap.add_argument("--ddim-steps", type=int, default=50,
+                    help="sampler steps (for consistency: 1-4 model evals "
+                         "from the distilled consistency_model checkpoint)")
     ap.add_argument("--eta", type=float, default=0.0,
                     help="DDIM stochasticity (0 = deterministic)")
     args = ap.parse_args()
@@ -54,8 +58,11 @@ def main() -> None:
     shape = (d.image_size, d.image_size, d.image_channels)
 
     # weights: EMA if present (reference reloads the best state_dict,
-    # generate_images.py:51-58)
-    name = "diffusion_model_ema.msgpack" if args.ema else "diffusion_model.msgpack"
+    # generate_images.py:51-58); the consistency sampler loads the DISTILLED
+    # student (scripts/distill_consistency.py), not the diffusion weights
+    stem = ("consistency_model" if args.sampler == "consistency"
+            else "diffusion_model")
+    name = f"{stem}_ema.msgpack" if args.ema else f"{stem}.msgpack"
     path = os.path.join(config.checkpoints, name)
     template = jax.jit(model.init)(
         jax.random.key(0), jnp.zeros((1,) + shape), jnp.zeros((1,), jnp.int32),
@@ -78,6 +85,16 @@ def main() -> None:
             lambda p, k, y: diffusion.sample_dpmpp(
                 model.apply, p, k, y, shape, n_sample_steps=args.ddim_steps,
                 cfg_scale=cfg_scale, null_label=model.num_classes,
+            )
+        )
+    elif args.sampler == "consistency":
+        from ldm_tpu.diffusion.consistency import sample_consistency
+        from ldm_tpu.training.consistency_trainer import sampling_timesteps
+
+        ts = sampling_timesteps(diffusion.n_steps, args.ddim_steps)
+        sampler = jax.jit(
+            lambda p, k, y: sample_consistency(
+                diffusion, model.apply, p, k, y, shape, ts=ts,
             )
         )
     else:

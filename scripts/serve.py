@@ -26,8 +26,11 @@ def main() -> None:
     ap.add_argument("--checkpoint", default=None,
                     help="eps-model params (default: run dir's best/EMA)")
     ap.add_argument("--ema", action=argparse.BooleanOptionalAction, default=True)
-    ap.add_argument("--sampler", choices=("ddim", "ddpm", "dpmpp"), default="ddim")
-    ap.add_argument("--ddim-steps", type=int, default=50)
+    ap.add_argument("--sampler",
+                    choices=("ddim", "ddpm", "dpmpp", "consistency"),
+                    default="ddim")
+    ap.add_argument("--ddim-steps", type=int, default=50,
+                    help="sampler steps (for consistency: 1-4 model evals)")
     ap.add_argument("--eta", type=float, default=0.0)
     ap.add_argument("--cfg-scale", type=float, default=None)
     ap.add_argument("--batch-size", type=int, default=64,

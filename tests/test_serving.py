@@ -335,3 +335,65 @@ def test_builder_mesh_smoke(tmp_path):
     with meshed:
         b = meshed.submit(1, n=2, seed=5).result(timeout=120)
     np.testing.assert_array_equal(a, b)
+
+
+# ---------------------------------------------------- per-slot-key samplers
+
+
+def slotkey_sampler(key, classes, x_init, slot_keys):
+    """Multistep-consistency-shaped fake: output mixes the slot's x_T with
+    noise drawn from ITS slot key — batching-invariant only if the service
+    really passes per-slot keys."""
+    extra = jax.vmap(
+        lambda k: jax.random.normal(jax.random.fold_in(k, 1), SHAPE)
+    )(slot_keys)
+    return jnp.tanh(x_init + 0.5 * extra)
+
+
+def test_per_slot_keys_batching_invariance():
+    """A request's images are identical whether it rode alone or packed
+    with other traffic — even for samplers that draw noise mid-loop."""
+    outs = {}
+    for scenario in ("alone", "packed"):
+        with make_service(slotkey_sampler, batch_size=8,
+                          per_slot_keys=True) as svc:
+            if scenario == "packed":
+                svc.submit(7, n=5, seed=999)  # rides in the same batch
+            outs[scenario] = svc.submit(2, n=3, seed=5).result(timeout=60)
+    np.testing.assert_array_equal(outs["alone"], outs["packed"])
+
+
+def test_builder_consistency_smoke(tmp_path):
+    """Distilled-student serving through the builder: consistency checkpoint
+    → 2-step guidance-free sampling, seed-deterministic."""
+    from ldm_tpu.config import Config, DataConfig, DiffusionConfig, ModelConfig
+    from ldm_tpu.factory import build_model
+    from ldm_tpu.serving.builder import build_generation_service
+    from ldm_tpu.training import checkpoint as ckpt
+
+    cfg = Config(
+        project_name="serve_cm", workdir=str(tmp_path), use_amp=False, seed=0,
+        model=ModelConfig(params=dict(
+            in_channels=1, out_channels=1, channels=8,
+            channel_multipliers=[1], num_classes=NUM_CLASSES,
+        )),
+        diffusion=DiffusionConfig(n_steps=8, cfg_scale=3),
+        data=DataConfig(dataset="SYNTHETIC", image_size=8, image_channels=1),
+    )
+    cfg.create_dirs()
+    model = build_model(cfg)
+    params = jax.jit(model.init)(
+        jax.random.key(0), jnp.zeros((1, 8, 8, 1)),
+        jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32),
+    )
+    ckpt.save_params(f"{cfg.checkpoints}/consistency_model_ema.msgpack", params)
+
+    svc = build_generation_service(
+        cfg, sampler="consistency", ddim_steps=2, batch_size=4,
+        max_delay_s=0.01,
+    )
+    with svc:
+        a = svc.submit(1, n=2, seed=5).result(timeout=120)
+        b = svc.submit(1, n=2, seed=5).result(timeout=120)
+    assert a.shape == (2, 8, 8, 1) and a.dtype == np.uint8
+    np.testing.assert_array_equal(a, b)
