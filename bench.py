@@ -610,12 +610,17 @@ def main():
 
     @jax.jit
     def _cm_run(params, key):
-        def one(_, k):
+        # Accumulate a scalar instead of stacking outputs: at 64 reps the
+        # stacked float32 images are ~50 MB and the tunnel transfer would
+        # dominate the measurement (every iteration feeds the accumulator,
+        # so none can be dead-code-eliminated).
+        def one(acc, k):
             x0 = sample_consistency(d400, model.apply, params, k,
                                     classes_ddim, (32, 32, 3), ts=_cm_ts)
-            return None, x0
-        _, xs = jax.lax.scan(one, None, jax.random.split(key, _cm_reps))
-        return xs
+            return acc + jnp.mean(jnp.abs(x0)), None
+        acc, _ = jax.lax.scan(one, jnp.zeros((), jnp.float32),
+                              jax.random.split(key, _cm_reps))
+        return acc
 
     np.asarray(_cm_run(params, jax.random.key(0)))
     _times = []

@@ -166,7 +166,8 @@ for name, fn in rows:
     out[name] = row
     print(name, row, flush=True)
 
-with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "probe33.json"), "w") as f:
+name = "probe33.json" if EPOCHS == 12 else f"probe33_e{EPOCHS}.json"
+with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), name),
+          "w") as f:
     json.dump(out, f, indent=2)
 print(json.dumps(out))
