@@ -15,10 +15,13 @@ The TPU-native serving design, shaped by the same constraints as the samplers:
   packed it, across batch boundaries and server restarts.  (The ancestral
   DDPM sampler draws its per-step noise from a per-batch key, so its outputs
   do depend on batch composition; the service defaults to DDIM for serving.)
-* **Host work overlaps device work.**  Device dispatch is async: the worker
-  dispatches batch k, then fulfils batch k-1 (transfer, future resolution)
-  while the device runs — the host never sits idle behind the tunnel's
-  dispatch latency, and the device never waits for PNG encoding.  The
+* **Host work overlaps device work.**  Device dispatch is async, and the
+  batcher and fulfil paths run on SEPARATE threads handing off through a
+  bounded queue: while the batcher dispatches batch k (the ~15-25 ms tunnel
+  call), the fulfil thread transfers and resolves batch k-1 — both phases
+  release the GIL in their C++ sections, so the two dominant per-batch host
+  costs overlap instead of serializing.  The device never waits for PNG
+  encoding.  The
   uint8 packing happens ON DEVICE inside the compiled program, so the
   fulfil path transfers 1 byte/pixel and does no conversion math on the
   single-core host (the measured bottleneck above ~1000 img/s, probe31).
@@ -186,6 +189,9 @@ class GenerationService:
         else:
             self._compiled = jax.jit(_batched)
         self._queue: "queue.Queue[Tuple[_Request, int]]" = queue.Queue(queue_limit)
+        # batcher → fulfil-thread handoff; the bound caps device batches in
+        # flight (dispatch blocks when the fulfil side is 3 batches behind)
+        self._fulfil_q: "queue.Queue" = queue.Queue(maxsize=3)
         self._lock = threading.Lock()
         self._latencies: collections.deque = collections.deque(maxlen=1024)
         self._stats = ServiceStats()
@@ -194,10 +200,11 @@ class GenerationService:
         self._batch_counter = 0
         self._stop = threading.Event()
         self._worker: Optional[threading.Thread] = None
+        self._fulfiller: Optional[threading.Thread] = None
 
     # ------------------------------------------------------------- lifecycle
     def start(self, warmup: bool = True) -> "GenerationService":
-        """Start the batching worker; optionally pay the compile up front."""
+        """Start the batching + fulfil workers; optionally compile up front."""
         if self._worker is not None:
             raise RuntimeError("service already started")
         if warmup:
@@ -206,16 +213,22 @@ class GenerationService:
         self._worker = threading.Thread(
             target=self._run, name="ldm-tpu-serving-batcher", daemon=True
         )
+        self._fulfiller = threading.Thread(
+            target=self._run_fulfil, name="ldm-tpu-serving-fulfil", daemon=True
+        )
+        self._fulfiller.start()
         self._worker.start()
         return self
 
     def stop(self, timeout: float = 30.0) -> None:
-        """Drain the queue, fulfil everything in flight, stop the worker."""
+        """Drain the queue, fulfil everything in flight, stop the workers."""
         if self._worker is None:
             return
         self._stop.set()
         self._worker.join(timeout)
-        self._worker = None
+        if self._fulfiller is not None:
+            self._fulfiller.join(timeout)
+        self._worker = self._fulfiller = None
 
     def __enter__(self):
         return self.start()
@@ -338,17 +351,24 @@ class GenerationService:
         return slots
 
     def _run(self):
-        pending = None  # (device_images, slots) of the batch in flight
+        # Batcher thread: collect + dispatch only.  Finished batches go to
+        # the fulfil THREAD, so the ~15-25 ms tunnel dispatch of batch k
+        # overlaps the device→host transfer + future resolution of batch
+        # k-1 (both release the GIL in their C++ phases) instead of
+        # serializing with them — the two dominant terms of the measured
+        # ~50 ms/batch host ceiling (perf/probe34.json).
         while True:
             slots = self._collect()
             if slots:
                 out = self._dispatch(slots)
-                if pending is not None:
-                    self._fulfil(*pending)  # host work while the device runs
-                pending = (out, slots)
-            else:
-                if pending is not None:
-                    self._fulfil(*pending)
-                    pending = None
-                if self._stop.is_set() and self._queue.empty():
-                    return
+                self._fulfil_q.put((out, slots))
+            elif self._stop.is_set() and self._queue.empty():
+                self._fulfil_q.put(None)  # sentinel: drain and exit
+                return
+
+    def _run_fulfil(self):
+        while True:
+            item = self._fulfil_q.get()
+            if item is None:
+                return
+            self._fulfil(*item)
