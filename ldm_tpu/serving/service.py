@@ -199,6 +199,7 @@ class GenerationService:
         self._auto_seed = 0
         self._batch_counter = 0
         self._stop = threading.Event()
+        self._failure: Optional[BaseException] = None
         self._worker: Optional[threading.Thread] = None
         self._fulfiller: Optional[threading.Thread] = None
 
@@ -250,6 +251,9 @@ class GenerationService:
         deterministic for a fixed submission order).
         """
         if self._worker is None or self._stop.is_set():
+            if self._failure is not None:
+                raise RuntimeError(
+                    f"service failed: {self._failure!r}") from self._failure
             raise RuntimeError("service is not running")
         if n <= 0:
             raise ValueError(f"n must be positive, got {n}")
@@ -350,6 +354,27 @@ class GenerationService:
                 break
         return slots
 
+    def _fail(self, exc: BaseException, slots: Sequence[Tuple[_Request, int]]):
+        """A worker thread hit an unrecoverable error: fail every affected
+        future (the batch being processed + everything still queued) instead
+        of letting clients block forever on futures nobody will resolve."""
+        self._stop.set()
+        self._failure = exc
+        failed = {}
+        for req, _ in slots:
+            failed[id(req)] = req
+        while True:  # drain pending slots so their requests fail too
+            try:
+                req, _ = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            failed[id(req)] = req
+        for req in failed.values():
+            req.rejected = True  # a racing _fulfil must not set_result
+            if not req.future.done():
+                req.future.set_exception(
+                    RuntimeError(f"serving worker failed: {exc!r}"))
+
     def _run(self):
         # Batcher thread: collect + dispatch only.  Finished batches go to
         # the fulfil THREAD, so the ~15-25 ms tunnel dispatch of batch k
@@ -360,7 +385,12 @@ class GenerationService:
         while True:
             slots = self._collect()
             if slots:
-                out = self._dispatch(slots)
+                try:
+                    out = self._dispatch(slots)
+                except Exception as e:  # compile/dispatch error
+                    self._fail(e, slots)
+                    self._fulfil_q.put(None)
+                    return
                 self._fulfil_q.put((out, slots))
             elif self._stop.is_set() and self._queue.empty():
                 self._fulfil_q.put(None)  # sentinel: drain and exit
@@ -371,4 +401,9 @@ class GenerationService:
             item = self._fulfil_q.get()
             if item is None:
                 return
-            self._fulfil(*item)
+            try:
+                self._fulfil(*item)
+            except Exception as e:  # transfer/materialization error
+                self._fail(e, item[1])
+                # keep consuming so the batcher never blocks on a full
+                # handoff queue; later batches still fail-fast above

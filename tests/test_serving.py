@@ -135,6 +135,29 @@ def test_queue_full_rejects_cleanly():
     assert svc.stats().rejected == 1
 
 
+def test_worker_failure_fails_futures_not_hangs():
+    """A sampler that raises must fail every pending future promptly (and
+    mark the service dead) — not strand clients on futures nobody resolves."""
+    svc = make_service()
+
+    def exploding(*args):
+        raise ValueError("device fell over")
+
+    svc._compiled = exploding
+    svc.start(warmup=False)
+    futs = [svc.submit(c % NUM_CLASSES, n=2) for c in range(3)]
+    for f in futs:
+        with pytest.raises(RuntimeError, match="worker failed"):
+            f.result(timeout=10)
+    # the service is dead and says why
+    deadline = time.monotonic() + 5
+    while svc._failure is None and time.monotonic() < deadline:
+        time.sleep(0.01)
+    with pytest.raises(RuntimeError, match="service failed"):
+        svc.submit(0)
+    svc.stop()
+
+
 def test_stop_drains_inflight_work():
     svc = make_service(batch_size=2)
     svc.start(warmup=False)
