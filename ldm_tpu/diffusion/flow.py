@@ -142,6 +142,7 @@ class RectifiedFlow:
         null_label: Optional[int],
         x_init: Optional[Array],
         solver: str,
+        ode_direction: float = 1.0,
     ) -> Array:
         """Integrate dx/dt = v_theta from t=1 to t=0 as one ``lax.scan``.
 
@@ -150,6 +151,16 @@ class RectifiedFlow:
         eval at the endpoint, then the averaged update (2 evals per step,
         2nd-order accurate; the final step's endpoint is t=0 which is in the
         trained range, so no lower-order fallback is needed).
+
+        ``ode_direction=-1.0`` integrates the ODE the WRONG WAY (x ← x + dt·v
+        while the time grid still walks t: 1 → 0) — the flow family's
+        NEGATIVE-CONTROL knob.  It reproduces this family's authentic bug
+        class: a sign-convention mistake between the two velocity conventions
+        in the literature (v = x1 − x0 with t: 0→data vs v = eps − x0 with
+        t: 1→noise; Liu et al. 2209.03003 vs Lipman et al. 2210.02747 differ
+        exactly this way), the flow analogue of the latent family's hardcoded
+        SD scale (perf/probe22.json).  The broken integrator walks the state
+        TOWARD the noise end of the path instead of toward data.
         """
         b = classes.shape[0]
         shape = (b,) + tuple(image_shape)
@@ -159,7 +170,7 @@ class RectifiedFlow:
         )
         use_cfg, y_in = self._prep_cfg(classes, cfg_scale, null_label)
         n = max(1, int(n_sample_steps))
-        dt = 1.0 / n
+        dt = float(ode_direction) / n
 
         def step(carry, t):
             xt = carry
@@ -167,13 +178,13 @@ class RectifiedFlow:
             v1 = self._cfg_v(model, params, xt, t_vec, y_in, cfg_scale, use_cfg)
             x_pred = xt - dt * v1
             if solver == "heun":
-                t2 = jnp.full((b,), t - dt, jnp.float32) * (self.n_steps - 1)
+                t2 = jnp.full((b,), t - 1.0 / n, jnp.float32) * (self.n_steps - 1)
                 v2 = self._cfg_v(model, params, x_pred, t2, y_in, cfg_scale,
                                  use_cfg)
                 return xt - dt * 0.5 * (v1 + v2), None
             return x_pred, None
 
-        ts = (jnp.arange(n, 0, -1, jnp.float32)) * dt  # 1, 1-dt, ..., dt
+        ts = jnp.arange(n, 0, -1, jnp.float32) / n  # 1, 1-1/n, ..., 1/n
         x0, _ = jax.lax.scan(step, xt, ts)
         return x0
 
@@ -188,6 +199,7 @@ class RectifiedFlow:
         null_label: Optional[int] = None,
         x_init: Optional[Array] = None,
         n_sample_steps: Optional[int] = None,
+        ode_direction: float = 1.0,
     ) -> Array:
         """Euler ODE sampling at ``n_sample_steps`` (default: ``n_steps``,
         mirroring the DDPM full-loop slot the trainers call for
@@ -195,7 +207,7 @@ class RectifiedFlow:
         return self._solve(
             model, params, key, classes, image_shape,
             self.n_steps if n_sample_steps is None else n_sample_steps,
-            cfg_scale, null_label, x_init, "euler",
+            cfg_scale, null_label, x_init, "euler", ode_direction,
         )
 
     def sample_euler(self, *args, **kw) -> Array:
@@ -214,6 +226,7 @@ class RectifiedFlow:
         cfg_scale: float = 3.0,
         null_label: Optional[int] = None,
         x_init: Optional[Array] = None,
+        ode_direction: float = 1.0,
     ) -> Array:
         """The family's deterministic few-step sampler slot → Euler.
 
@@ -225,7 +238,7 @@ class RectifiedFlow:
             raise ValueError("rectified flow is deterministic; eta must be 0")
         return self._solve(model, params, key, classes, image_shape,
                            n_sample_steps, cfg_scale, null_label, x_init,
-                           "euler")
+                           "euler", ode_direction)
 
     def sample_heun(self, *args, **kw) -> Array:
         """2nd-order few-step sampling; same signature as :meth:`sample_dpmpp`."""
@@ -243,6 +256,7 @@ class RectifiedFlow:
         null_label: Optional[int] = None,
         x_init: Optional[Array] = None,
         order: int = 2,
+        ode_direction: float = 1.0,
     ) -> Array:
         """The family's higher-order few-step sampler slot → Heun.
 
@@ -253,4 +267,4 @@ class RectifiedFlow:
         """
         return self._solve(model, params, key, classes, image_shape,
                            n_sample_steps, cfg_scale, null_label, x_init,
-                           "heun" if order >= 2 else "euler")
+                           "heun" if order >= 2 else "euler", ode_direction)

@@ -93,6 +93,7 @@ def generate_synthetic_dataset(
     sampler: str = "ddpm",
     ddim_steps: int = 50,
     decode_scale_override: float = 0.0,
+    ode_direction: float = 1.0,
 ) -> Dataset:
     """Sample ``n_per_class`` images per class with CFG (reference Phase C,
     main.py:294-324) — batched across classes in one device call per batch.
@@ -111,7 +112,8 @@ def generate_synthetic_dataset(
         key = jax.random.fold_in(trainer.state.key, 0x6E0 + i)
         out = trainer.sample(y, cfg_scale=cfg_scale, key=key, method=sampler,
                              ddim_steps=ddim_steps,
-                             decode_scale_override=decode_scale_override)
+                             decode_scale_override=decode_scale_override,
+                             ode_direction=ode_direction)
         images[i : i + len(chunk)] = out[: len(chunk)]
     ds = Dataset(images, labels, classes, "synthetic")
     if save_dir:
@@ -123,6 +125,44 @@ def generate_synthetic_dataset(
                  for k in range(len(idx))],
             )
     return ds
+
+
+def negative_control_break(dt, cfg_scale: float, sampler: str,
+                           ddim_steps: int) -> dict:
+    """Sampling kwargs for the deliberately-BROKEN generation pass.
+
+    The break is FAMILY-SPECIFIC: each family gets its authentic failure
+    mode, because a break that cannot fire is no control —
+
+    * latent: decode with the reference's hardcoded SD constant instead of
+      the calibrated scale (src/LatentDiffusionModel.py:28) — the bug class
+      ``latent_scaling_factor: auto`` exists to fix (perf/probe22.json:
+      FID 5.98).  The pixel break (unguided + 5-step) measurably does NOT
+      degrade this family: unguided sampling IS the true conditional
+      distribution, and few-step DDIM on a 4x4 latent grid stays close to it
+      (latent DDIM-5/cfg-0 classifier-FID 0.86 vs 0.97 normal, probe25; the
+      inverted first control, runs/protocol_r3_latent_gen.log).
+    * flow: integrate the probability-flow ODE the WRONG WAY (x ← x + dt·v
+      on the t: 1→0 grid; flow.py _solve ``ode_direction``) — the
+      sign-convention bug class between the literature's two velocity
+      conventions.  Same sampler/steps/CFG as the real set, so integrator
+      direction is the ONLY difference.  Round 3 shipped flow with the pixel
+      break, which scored BETTER than the real set
+      (runs/protocol_r3_flow.log: broken classifier-FID 0.256 vs 0.932) —
+      the same inert-control failure the latent family already taught
+      (VERDICT r3 weak #1).
+    * pixel: unguided AND 5-step DDIM — visibly degraded samples (measured:
+      classifier-FID 2.79 vs 0.98, RESULTS.md probe21 table).
+    """
+    from ldm_tpu.diffusion.flow import RectifiedFlow
+
+    if hasattr(dt, "ldm"):
+        return dict(cfg_scale=cfg_scale, sampler=sampler,
+                    ddim_steps=ddim_steps, decode_scale_override=0.18215)
+    if isinstance(getattr(dt, "diffusion", None), RectifiedFlow):
+        return dict(cfg_scale=cfg_scale, sampler=sampler,
+                    ddim_steps=ddim_steps, ode_direction=-1.0)
+    return dict(cfg_scale=0.0, sampler="ddim", ddim_steps=5)
 
 
 def run_augmentation_experiment(
@@ -274,30 +314,12 @@ def run_augmentation_experiment(
     if negative_control:
         # full exp2 size: the F1-level control (exp2_broken below) must not
         # be confounded by a smaller training set.
-        # The break is FAMILY-SPECIFIC: each family gets its authentic
-        # failure mode, because the pixel break (unguided + 5-step) does not
-        # degrade the latent family — unguided sampling IS the true
-        # conditional distribution, and few-step DDIM on a 4x4 latent grid
-        # stays close to it (measured: latent DDIM-5/cfg-0 classifier-FID
-        # 0.86 vs 0.97 normal — RESULTS.md probe25; the first latent-protocol
-        # run's inverted control, runs/protocol_r3_latent_gen.log).
-        if hasattr(dt, "ldm"):
-            # latent family: decode with the reference's hardcoded SD
-            # constant instead of the calibrated scale
-            # (src/LatentDiffusionModel.py:28) — the bug class `auto`
-            # calibration exists to fix (perf/probe22.json: FID 5.98).
-            broken = generate_synthetic_dataset(
-                dt, num_classes, n_per_class, batch_size=sample_batch,
-                cfg_scale=config.diffusion.cfg_scale, classes=classes,
-                sampler=sampler, ddim_steps=ddim_steps,
-                decode_scale_override=0.18215,
-            )
-        else:
-            broken = generate_synthetic_dataset(
-                dt, num_classes, n_per_class, batch_size=sample_batch,
-                cfg_scale=0.0,  # unguided AND 5-step: visibly degraded samples
-                classes=classes, sampler="ddim", ddim_steps=5,
-            )
+        broken = generate_synthetic_dataset(
+            dt, num_classes, n_per_class, batch_size=sample_batch,
+            classes=classes,
+            **negative_control_break(dt, config.diffusion.cfg_scale,
+                                     sampler, ddim_steps),
+        )
         rng_b = np.random.default_rng(config.seed + 0xB40)
         n_fid_b = min(len(broken), n_fid)
         broken_fid = broken.images[rng_b.permutation(len(broken))[:n_fid_b]]

@@ -308,14 +308,21 @@ class DiffusionTrainer:
             apply_fn = wrap_apply_spatial(self.mesh, apply_fn)
 
         def _sample(params, key, classes, cfg_scale, method="ddpm",
-                    ddim_steps=50, eta=0.0, decode_scale_override=0.0):
+                    ddim_steps=50, eta=0.0, decode_scale_override=0.0,
+                    ode_direction=1.0):
+            # ode_direction != 1 is the FLOW family's negative-control knob
+            # (wrong-way ODE integration, flow.py _solve) — only RectifiedFlow
+            # samplers accept it, so it is forwarded conditionally (passing it
+            # to GaussianDiffusion would be a hard TypeError, which is the
+            # right failure for a nonsensical family/knob pairing).
+            brk = {} if ode_direction == 1.0 else {"ode_direction": ode_direction}
             if method == "ddim":
                 # capability-plus few-step sampler (ddpm.py sample_ddim) —
                 # same fused-CFG scan design at ddim_steps/T of the cost
                 x0 = diffusion.sample_ddim(
                     apply_fn, params, key, classes, self.image_shape,
                     n_sample_steps=ddim_steps, eta=eta, cfg_scale=cfg_scale,
-                    null_label=model.num_classes,
+                    null_label=model.num_classes, **brk,
                 )
             elif method == "dpmpp":
                 # second-order multistep (ddpm.py sample_dpmpp): DDIM-50
@@ -324,17 +331,17 @@ class DiffusionTrainer:
                 x0 = diffusion.sample_dpmpp(
                     apply_fn, params, key, classes, self.image_shape,
                     n_sample_steps=ddim_steps, cfg_scale=cfg_scale,
-                    null_label=model.num_classes,
+                    null_label=model.num_classes, **brk,
                 )
             else:
                 x0 = diffusion.sample(
                     apply_fn, params, key, classes, self.image_shape,
-                    cfg_scale=cfg_scale, null_label=model.num_classes,
+                    cfg_scale=cfg_scale, null_label=model.num_classes, **brk,
                 )
             return self._postprocess(x0, decode_scale_override)
 
         static = ("cfg_scale", "method", "ddim_steps", "eta",
-                  "decode_scale_override")
+                  "decode_scale_override", "ode_direction")
         if self.mesh is None:
             return jax.jit(_sample, static_argnames=static)
         # DP generation: classes sharded on the data axis, params/key replicated —
@@ -530,13 +537,16 @@ class DiffusionTrainer:
         ddim_steps: int = 50,
         eta: float = 0.0,
         decode_scale_override: float = 0.0,
+        ode_direction: float = 1.0,
     ) -> np.ndarray:
         """Generate one image per entry of ``classes``; returns uint8 NHWC
         (reference ``sample`` + reverse transform,
         src/DiffusionModelTrainer.py:161-180).  ``method="ddim"`` switches to
         the few-step DDIM sampler (capability-plus).
         ``decode_scale_override`` != 0 mis-scales the latent decode (negative
-        control; no-op for the pixel family — see ``_postprocess``)."""
+        control; no-op for the pixel family — see ``_postprocess``);
+        ``ode_direction=-1`` integrates the flow ODE the wrong way (the FLOW
+        family's negative control, flow.py _solve)."""
         key = key if key is not None else jax.random.fold_in(
             self.state.key, 0x5A7712  # fixed salt: sampling stream ≠ training stream
         )
@@ -555,5 +565,5 @@ class DiffusionTrainer:
             classes = jnp.asarray(classes)
         x0 = self._sampler(params, key, classes, float(cfg_scale), method,
                            int(ddim_steps), float(eta),
-                           float(decode_scale_override))
+                           float(decode_scale_override), float(ode_direction))
         return reverse_transform(jax.device_get(x0)[:n])

@@ -165,6 +165,90 @@ def test_sampling_deterministic(flow):
     assert not np.allclose(np.asarray(a), np.asarray(c))
 
 
+# ---------------------------------------------------- negative-control knob
+def test_reverse_integration_moves_the_wrong_way(flow):
+    """ode_direction=-1 (the flow family's negative control) integrates
+    x ← x + dt·v on the same t: 1→0 grid: for constant v the exact wrong-way
+    endpoint is x(1) + v, the mirror image of the correct x(1) − v."""
+    key = jax.random.key(11)
+    x1 = jax.random.normal(key, (2,) + SHAPE)
+    classes = jnp.zeros((2,), jnp.int32)
+    v = jnp.float32(0.7)
+    for steps in (1, 7):
+        bad = flow.sample_ddim(const_v_model(v), {}, key, classes, SHAPE,
+                               n_sample_steps=steps, cfg_scale=0.0, x_init=x1,
+                               ode_direction=-1.0)
+        np.testing.assert_allclose(np.asarray(bad), np.asarray(x1 + 0.7),
+                                   atol=1e-5)
+    # Heun's wrong-way endpoint for constant v is the same mirror image
+    bad_h = flow.sample_dpmpp(const_v_model(v), {}, key, classes, SHAPE,
+                              n_sample_steps=4, cfg_scale=0.0, x_init=x1,
+                              ode_direction=-1.0)
+    np.testing.assert_allclose(np.asarray(bad_h), np.asarray(x1 + 0.7),
+                               atol=1e-5)
+    # direction=+1 is the default: explicit pass-through changes nothing
+    good = flow.sample_ddim(const_v_model(v), {}, key, classes, SHAPE,
+                            n_sample_steps=7, cfg_scale=0.0, x_init=x1,
+                            ode_direction=1.0)
+    np.testing.assert_allclose(np.asarray(good), np.asarray(x1 - 0.7),
+                               atol=1e-5)
+
+
+def test_orchestrator_gives_flow_its_own_break():
+    """The family-specific negative-control dispatch
+    (experiments/augmentation.py negative_control_break) must send the flow
+    family the wrong-way integrator (ode_direction=-1) with the SAME
+    sampler/steps/CFG as the real set — not the pixel break (cfg 0 + DDIM-5),
+    which round 3 measured as inert for this family
+    (runs/protocol_r3_flow.log: broken FID 0.256 < real 0.932)."""
+    from ldm_tpu.experiments.augmentation import negative_control_break
+
+    class FlowTrainer:
+        diffusion = RectifiedFlow(n_steps=10)
+
+    class PixelTrainer:
+        diffusion = object()
+
+    class LatentTrainer:
+        ldm = object()
+        diffusion = RectifiedFlow(n_steps=10)  # latent must win over flow
+
+    brk = negative_control_break(FlowTrainer(), 3.0, "ddim", 25)
+    assert brk == dict(cfg_scale=3.0, sampler="ddim", ddim_steps=25,
+                       ode_direction=-1.0)
+    assert negative_control_break(PixelTrainer(), 3.0, "ddpm", 50) == dict(
+        cfg_scale=0.0, sampler="ddim", ddim_steps=5)
+    assert negative_control_break(LatentTrainer(), 3.0, "ddpm", 50) == dict(
+        cfg_scale=3.0, sampler="ddpm", ddim_steps=50,
+        decode_scale_override=0.18215)
+
+
+def test_generate_synthetic_passes_ode_direction():
+    """generate_synthetic_dataset forwards the break knob to trainer.sample."""
+    from ldm_tpu.experiments import augmentation as aug
+
+    calls = []
+
+    class FakeTrainer:
+        output_image_shape = (8, 8, 1)
+
+        class state:
+            key = jax.random.key(0)
+
+        def sample(self, y, **kw):
+            calls.append(kw)
+            return np.zeros((len(y), 8, 8, 1), np.uint8)
+
+    ds = aug.generate_synthetic_dataset(
+        FakeTrainer(), num_classes=2, n_per_class=2, batch_size=4,
+        cfg_scale=3.0, sampler="ddim", ddim_steps=6, ode_direction=-1.0,
+    )
+    assert len(ds) == 4
+    assert calls and all(kw["ode_direction"] == -1.0 for kw in calls)
+    assert all(kw["method"] == "ddim" and kw["ddim_steps"] == 6
+               and kw["cfg_scale"] == 3.0 for kw in calls)
+
+
 # ------------------------------------------------------- trainer integration
 @pytest.mark.slow
 def test_flow_trains_through_diffusion_trainer(tmp_path):
