@@ -630,6 +630,38 @@ def main():
         _times.append(time.perf_counter() - _t0)
     consistency2_imgs = _cm_reps * best_batch / min(_times) / n_chips
 
+    # capability-plus: the RECTIFIED-FLOW family's two ODE solvers
+    # (diffusion/flow.py) at their protocol settings — Euler-50 (the flow
+    # protocol's Phase C sampler) and Heun-15 (2 evals/step, the 2nd-order
+    # option).  Rates are weight-independent; quality evidence in
+    # perf/probe35.json from the trained protocol_flow_hard checkpoint.
+    # Same reps-in-one-dispatch discipline as the DDIM/DPM++ rows.
+    from ldm_tpu.diffusion.flow import RectifiedFlow
+
+    rflow = RectifiedFlow(n_steps=400)
+
+    def _bench_flow(solver_fn, steps, reps):
+        @jax.jit
+        def _run(params, key):
+            def one(_, k):
+                x0 = solver_fn(model.apply, params, k, classes_ddim,
+                               (32, 32, 3), n_sample_steps=steps,
+                               cfg_scale=3.0, null_label=10)
+                return None, x0
+            _, xs = jax.lax.scan(one, None, jax.random.split(key, reps))
+            return xs
+
+        np.asarray(_run(params, jax.random.key(0)))
+        ts = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            np.asarray(_run(params, jax.random.key(i + 1)))
+            ts.append(time.perf_counter() - t0)
+        return reps * best_batch / min(ts) / n_chips
+
+    flow_euler50_imgs = _bench_flow(rflow.sample_euler, 50, 4)
+    flow_heun15_imgs = _bench_flow(rflow.sample_heun, 15, 8)
+
     # ---- baselines: the style sweep and the torch-CPU measurement cache
     # independently (a failed torch import must not discard the expensive
     # same-chip style sweep, and vice versa).
@@ -642,8 +674,13 @@ def main():
         if baseline_info.get("device") != str(jax.devices()[0]):
             baseline_info = {}  # measured on different hardware: re-measure all
         elif baseline_info.get("host_cpu") not in (None, _host_cpu()):
-            # the torch-CPU number is host-bound; a new host invalidates it
+            # torch-CPU numbers are host-bound; a new host invalidates ALL of
+            # them (round 3 only popped the sampler baseline, so the ratios
+            # mixed baselines from two different hosts — ADVICE r3)
             baseline_info.pop("reference_torch_cpu_images_per_sec", None)
+            baseline_info.pop("reference_torch_cpu_classifier_steps_per_sec",
+                              None)
+            baseline_info.pop("reference_torch_cpu_vae_images_per_sec", None)
     changed = False
     if "reference_style_images_per_sec_per_chip" not in baseline_info:
         per_batch = {str(b): bench_reference_style(model, diffusion, params, b)
@@ -726,6 +763,8 @@ def main():
         "ddim50_images_per_sec_per_chip": round(ddim50_imgs, 3),
         "dpmpp10_images_per_sec_per_chip": round(dpmpp10_imgs, 3),
         "consistency2_images_per_sec_per_chip": round(consistency2_imgs, 3),
+        "flow_euler50_images_per_sec_per_chip": round(flow_euler50_imgs, 3),
+        "flow_heun15_images_per_sec_per_chip": round(flow_heun15_imgs, 3),
         "t400_images_per_sec_per_chip": round(t400_imgs, 3),
         "batch": best_batch,
         # model FLOPs utilization of the sampler at the headline batch, from
