@@ -66,6 +66,29 @@ def _load():
     lib.ldm_prefetcher_next.restype = ctypes.c_int
     lib.ldm_prefetcher_destroy.argtypes = [ctypes.c_void_p]
     lib.ldm_prefetcher_destroy.restype = None
+    lib.ldm_slotq_create.argtypes = [i64, i64]
+    lib.ldm_slotq_create.restype = ctypes.c_void_p
+    lib.ldm_slotq_submit.argtypes = [
+        ctypes.c_void_p, i64, pf(u8), i32, pf(i32), i64
+    ]
+    lib.ldm_slotq_submit.restype = ctypes.c_int
+    lib.ldm_slotq_collect.argtypes = [
+        ctypes.c_void_p, i64, ctypes.c_double, ctypes.c_double,
+        pf(i32), pf(i32), pf(i32), pf(i64), pf(i32),
+    ]
+    lib.ldm_slotq_collect.restype = i64
+    lib.ldm_slotq_scatter.argtypes = [
+        ctypes.c_void_p, pf(u8), i64, pf(i64), pf(i32), pf(i64)
+    ]
+    lib.ldm_slotq_scatter.restype = i64
+    lib.ldm_slotq_cancel.argtypes = [ctypes.c_void_p, i64]
+    lib.ldm_slotq_cancel.restype = None
+    lib.ldm_slotq_drain.argtypes = [ctypes.c_void_p, pf(i64), i64]
+    lib.ldm_slotq_drain.restype = i64
+    lib.ldm_slotq_depth.argtypes = [ctypes.c_void_p]
+    lib.ldm_slotq_depth.restype = i64
+    lib.ldm_slotq_destroy.argtypes = [ctypes.c_void_p]
+    lib.ldm_slotq_destroy.restype = None
     _lib = lib
     return _lib
 
@@ -172,6 +195,95 @@ class Prefetcher:
     def close(self) -> None:
         if self._h is not None:
             self._lib.ldm_prefetcher_destroy(self._h)
+            self._h = None
+
+    def __del__(self):  # pragma: no cover - GC safety net
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class SlotQueue:
+    """C++ slot queue + batch assembly + result scatter for the serving path
+    (serving/service.py) — the per-SLOT host work (collect loop, assembly
+    loop, fulfil scatter) runs outside the GIL in one ctypes call per batch
+    instead of O(batch) Python operations (perf/probe34's measured host
+    ceiling).
+
+    Contract mirrors the Python batcher exactly, except submission is
+    all-or-nothing: a request whose slots would overflow ``queue_limit`` is
+    rejected whole (the Python queue could enqueue a prefix then reject).
+    The caller must keep each request's ``dst`` buffer alive until the
+    request completes, fails, or is cancelled.
+    """
+
+    def __init__(self, item_bytes: int, queue_limit: int = 4096):
+        lib = _load()
+        assert lib is not None
+        self._lib = lib
+        self._item_bytes = int(item_bytes)
+        self._h = lib.ldm_slotq_create(self._item_bytes, int(queue_limit))
+
+    def submit(self, req_id: int, dst: np.ndarray, seed: int,
+               class_ids: np.ndarray) -> bool:
+        """Enqueue one request's ``len(class_ids)`` slots; False = rejected
+        (queue full).  ``dst``: writable uint8 buffer of n*item_bytes."""
+        assert dst.dtype == np.uint8 and dst.flags.c_contiguous
+        assert dst.nbytes == len(class_ids) * self._item_bytes
+        cls = np.ascontiguousarray(class_ids, np.int32)
+        return bool(self._lib.ldm_slotq_submit(
+            self._h, int(req_id), _ptr(dst, ctypes.c_uint8),
+            np.int32(seed), _ptr(cls, ctypes.c_int32), len(cls),
+        ))
+
+    def collect(self, batch: int, first_wait_s: float, max_delay_s: float):
+        """Block (GIL released) for up to ``first_wait_s`` for work, then
+        fill up to ``batch`` slots within ``max_delay_s``.  Returns
+        (count, seeds, idxs, classes, req_ids, slot_is) with the arrays
+        zero-padded past count (the compiled sampler's pad slots), or
+        count == 0 with untouched arrays on timeout."""
+        seeds = np.zeros(batch, np.int32)
+        idxs = np.zeros(batch, np.int32)
+        classes = np.zeros(batch, np.int32)
+        req_ids = np.zeros(batch, np.int64)
+        slot_is = np.zeros(batch, np.int32)
+        n = self._lib.ldm_slotq_collect(
+            self._h, batch, float(first_wait_s), float(max_delay_s),
+            _ptr(seeds, ctypes.c_int32), _ptr(idxs, ctypes.c_int32),
+            _ptr(classes, ctypes.c_int32), _ptr(req_ids, ctypes.c_int64),
+            _ptr(slot_is, ctypes.c_int32),
+        )
+        return int(n), seeds, idxs, classes, req_ids, slot_is
+
+    def scatter(self, images: np.ndarray, count: int, req_ids: np.ndarray,
+                slot_is: np.ndarray) -> list:
+        """Copy finished rows images[:count] into their requests' buffers;
+        returns the req_ids that completed with this batch."""
+        assert images.dtype == np.uint8 and images.flags.c_contiguous
+        done = np.zeros(max(count, 1), np.int64)
+        n = self._lib.ldm_slotq_scatter(
+            self._h, _ptr(images, ctypes.c_uint8), int(count),
+            _ptr(req_ids, ctypes.c_int64), _ptr(slot_is, ctypes.c_int32),
+            _ptr(done, ctypes.c_int64),
+        )
+        return done[:n].tolist()
+
+    def cancel(self, req_id: int) -> None:
+        self._lib.ldm_slotq_cancel(self._h, int(req_id))
+
+    def drain(self, cap: int = 1 << 20) -> list:
+        """Failure path: forget everything; returns the affected req_ids."""
+        out = np.zeros(cap, np.int64)
+        n = self._lib.ldm_slotq_drain(self._h, _ptr(out, ctypes.c_int64), cap)
+        return out[:n].tolist()
+
+    def depth(self) -> int:
+        return int(self._lib.ldm_slotq_depth(self._h))
+
+    def close(self) -> None:
+        if self._h is not None:
+            self._lib.ldm_slotq_destroy(self._h)
             self._h = None
 
     def __del__(self):  # pragma: no cover - GC safety net

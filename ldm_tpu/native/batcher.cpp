@@ -21,11 +21,14 @@
 // pybind11 dependency; build via ldm_tpu/native/build.py (g++ -O3 -shared).
 
 #include <atomic>
+#include <chrono>
 #include <condition_variable>
 #include <cstdint>
 #include <cstring>
+#include <deque>
 #include <mutex>
 #include <thread>
+#include <unordered_map>
 #include <vector>
 
 extern "C" {
@@ -181,5 +184,174 @@ void ldm_prefetcher_destroy(void* h) {
   p->worker.join();
   delete p;
 }
+
+}  // extern "C"
+
+// ------------------------------------------------------------- serving slotq
+//
+// The serving host path (serving/service.py) was measured host-bound at
+// ~1.6k img/s on the 1-core box (perf/probe34.json): with dispatch and
+// device->host transfer already overlapped across threads, the residual is
+// per-SLOT Python — B queue.get calls to collect a batch, a B-iteration
+// assembly loop, and a B-iteration fulfil scatter, all under the GIL.  This
+// moves the whole slot-granular path into C++: submit enqueues a request's
+// slots in one call, collect blocks (GIL released) and writes the batch's
+// (seed, idx, class) assembly arrays directly, scatter memcpys finished
+// rows into each request's result buffer and reports which requests
+// completed.  Python touches requests, never slots.
+//
+// Locking: one mutex guards the deque + registry; collect waits on a condvar
+// with the batcher's deadline semantics (block for the first slot, then fill
+// until max_delay or full).  Single consumer (the batcher thread), many
+// producers (client threads), one scatter caller (the fulfil thread).
+
+namespace {
+
+struct SlotQ {
+  struct Slot {
+    int64_t req_id;
+    int32_t idx;  // image index within the request
+    int32_t seed;
+    int32_t cls;
+  };
+  struct Req {
+    uint8_t* dst;        // request's result buffer (n * item_bytes)
+    int64_t remaining;   // slots not yet scattered
+  };
+  int64_t item_bytes;
+  int64_t queue_limit;
+  std::deque<Slot> q;
+  std::unordered_map<int64_t, Req> reqs;
+  std::mutex mu;
+  std::condition_variable cv;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* ldm_slotq_create(int64_t item_bytes, int64_t queue_limit) {
+  auto* s = new SlotQ();
+  s->item_bytes = item_bytes;
+  s->queue_limit = queue_limit > 0 ? queue_limit : (int64_t{1} << 62);
+  return s;
+}
+
+// Enqueue one request's n slots atomically.  Returns 1, or 0 (rejected:
+// the whole request would overflow queue_limit — all-or-nothing, unlike the
+// Python queue's partial-enqueue-then-reject).  `dst` must stay alive until
+// the request completes or is cancelled.
+int ldm_slotq_submit(void* h, int64_t req_id, uint8_t* dst, int32_t seed,
+                     const int32_t* class_ids, int64_t n) {
+  auto* s = static_cast<SlotQ*>(h);
+  {
+    std::lock_guard<std::mutex> lk(s->mu);
+    if (static_cast<int64_t>(s->q.size()) + n > s->queue_limit) return 0;
+    s->reqs[req_id] = SlotQ::Req{dst, n};
+    for (int64_t i = 0; i < n; ++i) {
+      s->q.push_back(SlotQ::Slot{req_id, static_cast<int32_t>(i), seed,
+                                 class_ids[i]});
+    }
+  }
+  s->cv.notify_one();
+  return 1;
+}
+
+// Collect up to `batch` slots: block up to first_wait_s for the first slot,
+// then keep taking until the batch is full or max_delay_s after the first
+// slot ran out.  Writes the compiled sampler's assembly arrays (seeds /
+// idxs / classes; slots [count, batch) left as written by the caller = pad)
+// plus the (req_id, slot_i) pairs scatter needs.  Returns count (0: timed
+// out empty).
+int64_t ldm_slotq_collect(void* h, int64_t batch, double first_wait_s,
+                          double max_delay_s, int32_t* seeds, int32_t* idxs,
+                          int32_t* classes, int64_t* req_ids,
+                          int32_t* slot_is) {
+  auto* s = static_cast<SlotQ*>(h);
+  std::unique_lock<std::mutex> lk(s->mu);
+  if (s->q.empty()) {
+    s->cv.wait_for(lk, std::chrono::duration<double>(first_wait_s),
+                   [&] { return !s->q.empty(); });
+    if (s->q.empty()) return 0;
+  }
+  int64_t count = 0;
+  auto take = [&] {
+    const SlotQ::Slot& sl = s->q.front();
+    seeds[count] = sl.seed;
+    idxs[count] = sl.idx;
+    classes[count] = sl.cls;
+    req_ids[count] = sl.req_id;
+    slot_is[count] = sl.idx;
+    s->q.pop_front();
+    ++count;
+  };
+  const auto deadline =
+      std::chrono::steady_clock::now() +
+      std::chrono::duration_cast<std::chrono::steady_clock::duration>(
+          std::chrono::duration<double>(max_delay_s));
+  while (count < batch) {
+    while (count < batch && !s->q.empty()) take();
+    if (count >= batch) break;
+    if (!s->cv.wait_until(lk, deadline, [&] { return !s->q.empty(); })) break;
+  }
+  return count;
+}
+
+// Scatter a finished batch: images row j (uint8, item_bytes each) is copied
+// into request req_ids[j]'s buffer at slot_is[j].  Completed requests'
+// ids are written to done_req_ids; returns how many completed.  Unknown
+// req_ids (cancelled mid-flight) are skipped.
+int64_t ldm_slotq_scatter(void* h, const uint8_t* images, int64_t count,
+                          const int64_t* req_ids, const int32_t* slot_is,
+                          int64_t* done_req_ids) {
+  auto* s = static_cast<SlotQ*>(h);
+  std::lock_guard<std::mutex> lk(s->mu);
+  int64_t n_done = 0;
+  for (int64_t j = 0; j < count; ++j) {
+    auto it = s->reqs.find(req_ids[j]);
+    if (it == s->reqs.end()) continue;
+    std::memcpy(it->second.dst + slot_is[j] * s->item_bytes,
+                images + j * s->item_bytes, s->item_bytes);
+    if (--it->second.remaining == 0) {
+      done_req_ids[n_done++] = it->first;
+      s->reqs.erase(it);
+    }
+  }
+  return n_done;
+}
+
+// Drop a request (rejection/failure): forget its registry entry and purge
+// its queued slots so scatter never writes into a freed buffer.
+void ldm_slotq_cancel(void* h, int64_t req_id) {
+  auto* s = static_cast<SlotQ*>(h);
+  std::lock_guard<std::mutex> lk(s->mu);
+  s->reqs.erase(req_id);
+  for (auto it = s->q.begin(); it != s->q.end();) {
+    it = (it->req_id == req_id) ? s->q.erase(it) : std::next(it);
+  }
+}
+
+// Failure path: drain every pending request id (queued slots + in-flight
+// registry entries) so the service can fail their futures.  Writes up to
+// cap unique ids; clears the queue and registry.
+int64_t ldm_slotq_drain(void* h, int64_t* out_req_ids, int64_t cap) {
+  auto* s = static_cast<SlotQ*>(h);
+  std::lock_guard<std::mutex> lk(s->mu);
+  int64_t n = 0;
+  for (const auto& kv : s->reqs) {
+    if (n < cap) out_req_ids[n++] = kv.first;
+  }
+  s->q.clear();
+  s->reqs.clear();
+  return n;
+}
+
+int64_t ldm_slotq_depth(void* h) {
+  auto* s = static_cast<SlotQ*>(h);
+  std::lock_guard<std::mutex> lk(s->mu);
+  return static_cast<int64_t>(s->q.size());
+}
+
+void ldm_slotq_destroy(void* h) { delete static_cast<SlotQ*>(h); }
 
 }  // extern "C"

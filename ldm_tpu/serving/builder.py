@@ -40,6 +40,7 @@ def build_generation_service(
     max_delay_s: float = 0.02,
     base_seed: Optional[int] = None,
     mesh=None,
+    use_native: bool = True,
 ) -> GenerationService:
     """Build (not start) a GenerationService for a pixel or latent config.
 
@@ -119,6 +120,7 @@ def build_generation_service(
             max_delay_s=max_delay_s,
             base_seed=config.seed if base_seed is None else base_seed,
             mesh=mesh, per_slot_keys=(sampler == "consistency"),
+            use_native=use_native,
         )
 
     diffusion = build_diffusion(config)
@@ -135,6 +137,7 @@ def build_generation_service(
         batch_size=batch_size, max_delay_s=max_delay_s,
         base_seed=config.seed if base_seed is None else base_seed,
         mesh=mesh, per_slot_keys=(sampler == "consistency"),
+        use_native=use_native,
     )
 
 

@@ -125,6 +125,7 @@ class GenerationService:
         queue_limit: int = 4096,
         mesh=None,
         per_slot_keys: bool = False,
+        use_native: bool = True,
     ):
         import jax
         import jax.numpy as jnp
@@ -188,6 +189,22 @@ class GenerationService:
             )
         else:
             self._compiled = jax.jit(_batched)
+        # Native slot queue (ldm_tpu/native SlotQueue): the per-slot host
+        # path — collect loop, batch assembly, fulfil scatter — runs in C++
+        # outside the GIL, one call per batch instead of O(batch) Python
+        # operations.  probe34 measured the Python path host-bound at ~1.6k
+        # img/s on the 1-core box with per-slot Python as the residual.
+        # Pure-Python fallback below is behavior-identical (modulo the
+        # documented all-or-nothing rejection semantics).
+        self._slotq = None
+        if use_native:
+            from ldm_tpu import native
+
+            if native.available():
+                item_bytes = int(np.prod(self.out_shape))
+                self._slotq = native.SlotQueue(item_bytes, queue_limit)
+                self._inflight: dict = {}  # req_id -> _Request
+                self._next_req_id = 0
         self._queue: "queue.Queue[Tuple[_Request, int]]" = queue.Queue(queue_limit)
         # batcher → fulfil-thread handoff; the bound caps device batches in
         # flight (dispatch blocks when the fulfil side is 3 batches behind)
@@ -273,6 +290,20 @@ class GenerationService:
                 self._auto_seed += 1
             self._stats.requests += 1
         req = _Request(ids, int(seed), self.out_shape)
+        if self._slotq is not None:
+            with self._lock:
+                req_id = self._next_req_id
+                self._next_req_id += 1
+                self._inflight[req_id] = req
+            # one GIL-released call enqueues all n slots, all-or-nothing
+            if not self._slotq.submit(req_id, req.images, req.seed, ids):
+                with self._lock:
+                    del self._inflight[req_id]
+                    self._stats.rejected += 1
+                req.future.set_exception(
+                    RuntimeError("service queue is full, request rejected")
+                )
+            return req.future
         try:
             for i in range(n):
                 self._queue.put_nowait((req, i))
@@ -291,7 +322,8 @@ class GenerationService:
             lat = sorted(self._latencies)
         s.uptime_s = time.monotonic() - self._t_start
         s.images_per_s = s.images / s.uptime_s if s.uptime_s > 0 else 0.0
-        s.queue_depth = self._queue.qsize()
+        s.queue_depth = (self._slotq.depth() if self._slotq is not None
+                         else self._queue.qsize())
         if lat:
             s.latency_p50_s = lat[len(lat) // 2]
             s.latency_p95_s = lat[min(len(lat) - 1, int(len(lat) * 0.95))]
@@ -375,6 +407,63 @@ class GenerationService:
                 req.future.set_exception(
                     RuntimeError(f"serving worker failed: {exc!r}"))
 
+    # ----------------------------------------------- native (C++ slot queue)
+    def _run_native(self):
+        # Same structure as _run, but collect + assembly happen in ONE
+        # GIL-released C++ call: the returned arrays are the compiled
+        # sampler's inputs directly — zero per-slot Python on the batcher
+        # thread.
+        b = self.batch_size
+        while True:
+            count, seeds, idxs, classes, req_ids, slot_is = \
+                self._slotq.collect(b, 0.05, self.max_delay_s)
+            if count:
+                with self._lock:
+                    counter = self._batch_counter
+                    self._batch_counter += 1
+                    self._stats.batches += 1
+                    self._stats.padded_slots += b - count
+                try:
+                    out = self._compiled(seeds, idxs, classes,
+                                         np.int32(counter))
+                except Exception as e:  # compile/dispatch error
+                    self._fail_native(e, req_ids[:count])
+                    self._fulfil_q.put(None)
+                    return
+                self._fulfil_q.put((out, count, req_ids, slot_is))
+            elif self._stop.is_set() and self._slotq.depth() == 0:
+                self._fulfil_q.put(None)  # sentinel: drain and exit
+                return
+
+    def _fulfil_native(self, device_images, count, req_ids, slot_is):
+        # device→host transfer (GIL released), then one C++ scatter call
+        # copies each row into its request's buffer; Python work is
+        # per-COMPLETED-REQUEST only (latency record + future resolution).
+        images = np.ascontiguousarray(np.asarray(device_images))
+        done = self._slotq.scatter(images, count, req_ids, slot_is)
+        now = time.monotonic()
+        with self._lock:
+            self._stats.images += count
+            reqs = [self._inflight.pop(r) for r in done if r in self._inflight]
+            for req in reqs:
+                self._latencies.append(now - req.t_submit)
+        for req in reqs:
+            if not req.rejected:
+                req.future.set_result(req.images)
+
+    def _fail_native(self, exc: BaseException, batch_req_ids):
+        self._stop.set()
+        self._failure = exc
+        ids = {int(r) for r in batch_req_ids}
+        ids.update(self._slotq.drain())  # queued + in-flight registry
+        with self._lock:
+            reqs = [self._inflight.pop(r) for r in ids if r in self._inflight]
+        for req in reqs:
+            req.rejected = True
+            if not req.future.done():
+                req.future.set_exception(
+                    RuntimeError(f"serving worker failed: {exc!r}"))
+
     def _run(self):
         # Batcher thread: collect + dispatch only.  Finished batches go to
         # the fulfil THREAD, so the ~15-25 ms tunnel dispatch of batch k
@@ -382,6 +471,8 @@ class GenerationService:
         # k-1 (both release the GIL in their C++ phases) instead of
         # serializing with them — the two dominant terms of the measured
         # ~50 ms/batch host ceiling (perf/probe34.json).
+        if self._slotq is not None:
+            return self._run_native()
         while True:
             slots = self._collect()
             if slots:
@@ -397,13 +488,20 @@ class GenerationService:
                 return
 
     def _run_fulfil(self):
+        native = self._slotq is not None
         while True:
             item = self._fulfil_q.get()
             if item is None:
                 return
             try:
-                self._fulfil(*item)
+                if native:
+                    self._fulfil_native(*item)
+                else:
+                    self._fulfil(*item)
             except Exception as e:  # transfer/materialization error
-                self._fail(e, item[1])
+                if native:
+                    self._fail_native(e, item[2][:item[1]])
+                else:
+                    self._fail(e, item[1])
                 # keep consuming so the batcher never blocks on a full
                 # handoff queue; later batches still fail-fast above

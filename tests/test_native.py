@@ -186,3 +186,61 @@ def test_prefetch_loader_reuses_ring_across_epochs():
     assert not np.array_equal(e1[0]["label"], e2[0]["label"]) or not (
         np.array_equal(e1[0]["image"], e2[0]["image"])
     )
+
+
+def test_slotq_collect_scatter_roundtrip():
+    """SlotQueue: submit → collect (assembly arrays) → scatter (result
+    fan-out) reproduces exactly what the Python batcher does per slot,
+    including completion reporting and padding behavior."""
+    if not native.available():
+        pytest.skip("native library unavailable")
+    item = 2 * 2  # (2,2,1) uint8 images
+    q = native.SlotQueue(item_bytes=item, queue_limit=8)
+    dst_a = np.zeros((3, 2, 2, 1), np.uint8)
+    dst_b = np.zeros((2, 2, 2, 1), np.uint8)
+    assert q.submit(100, dst_a, seed=7, class_ids=np.array([1, 2, 3]))
+    assert q.submit(200, dst_b, seed=9, class_ids=np.array([4, 5]))
+    assert q.depth() == 5
+    # queue_limit is all-or-nothing per request
+    assert not q.submit(300, np.zeros((4, 2, 2, 1), np.uint8), 0,
+                        np.zeros(4, np.int32))
+    n, seeds, idxs, classes, req_ids, slot_is = q.collect(8, 0.5, 0.0)
+    assert n == 5 and q.depth() == 0
+    assert seeds[:5].tolist() == [7, 7, 7, 9, 9]
+    assert idxs[:5].tolist() == [0, 1, 2, 0, 1]
+    assert classes[:5].tolist() == [1, 2, 3, 4, 5]
+    assert req_ids[:5].tolist() == [100, 100, 100, 200, 200]
+    # pad slots zeroed
+    assert seeds[5:].tolist() == [0, 0, 0] and classes[5:].tolist() == [0, 0, 0]
+    # batch image j = j everywhere
+    imgs = np.stack([np.full((2, 2, 1), j, np.uint8) for j in range(8)])
+    done = q.scatter(np.ascontiguousarray(imgs), n, req_ids, slot_is)
+    assert sorted(done) == [100, 200]
+    np.testing.assert_array_equal(dst_a[:, 0, 0, 0], [0, 1, 2])
+    np.testing.assert_array_equal(dst_b[:, 0, 0, 0], [3, 4])
+    # empty queue: collect times out with 0
+    n2, *_ = q.collect(8, 0.01, 0.0)
+    assert n2 == 0
+    q.close()
+
+
+def test_slotq_cancel_and_drain():
+    if not native.available():
+        pytest.skip("native library unavailable")
+    q = native.SlotQueue(item_bytes=4, queue_limit=64)
+    dst = np.zeros((2, 2, 2, 1), np.uint8)
+    q.submit(1, dst, 0, np.array([0, 1]))
+    q.submit(2, dst.copy(), 0, np.array([2, 3]))
+    q.cancel(1)
+    assert q.depth() == 2  # request 1's slots purged
+    n, _, _, classes, req_ids, slot_is = q.collect(4, 0.5, 0.0)
+    assert n == 2 and req_ids[:2].tolist() == [2, 2]
+    # scatter referencing the cancelled request is skipped silently
+    imgs = np.zeros((4, 2, 2, 1), np.uint8)
+    bad_ids = np.array([1, 2], np.int64)
+    done = q.scatter(imgs, 2, bad_ids, slot_is)
+    assert done == []  # req 2 only got 1 of its 2 slots
+    q.submit(3, np.zeros((1, 2, 2, 1), np.uint8), 0, np.array([5]))
+    assert sorted(q.drain()) == [2, 3]
+    assert q.depth() == 0
+    q.close()

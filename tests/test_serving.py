@@ -45,10 +45,13 @@ def make_service(sampler=class_coded_sampler, **kw):
     return GenerationService(sampler, **kw)
 
 
-def test_routing_and_coalescing():
+@pytest.mark.parametrize("use_native", [True, False])
+def test_routing_and_coalescing(use_native):
     """Concurrent requests each get THEIR class's images, coalesced into
-    fewer batches than requests-worth of singleton dispatches."""
-    with make_service(batch_size=8) as svc:
+    fewer batches than requests-worth of singleton dispatches.
+    Parametrized over the C++ slot-queue path and the pure-Python
+    fallback — identical contract."""
+    with make_service(batch_size=8, use_native=use_native) as svc:
         futures = {c: svc.submit(c, n=3) for c in range(5)}
         for c, fut in futures.items():
             imgs = fut.result(timeout=30)
@@ -113,8 +116,9 @@ def test_validation_and_lifecycle():
         svc.submit(0)
 
 
-def test_queue_full_rejects_cleanly():
-    svc = make_service(batch_size=1, queue_limit=1)
+@pytest.mark.parametrize("use_native", [True, False])
+def test_queue_full_rejects_cleanly(use_native):
+    svc = make_service(batch_size=1, queue_limit=1, use_native=use_native)
     blocker = threading.Event()
     compiled = svc._compiled
 
@@ -135,10 +139,11 @@ def test_queue_full_rejects_cleanly():
     assert svc.stats().rejected == 1
 
 
-def test_worker_failure_fails_futures_not_hangs():
+@pytest.mark.parametrize("use_native", [True, False])
+def test_worker_failure_fails_futures_not_hangs(use_native):
     """A sampler that raises must fail every pending future promptly (and
     mark the service dead) — not strand clients on futures nobody resolves."""
-    svc = make_service()
+    svc = make_service(use_native=use_native)
 
     def exploding(*args):
         raise ValueError("device fell over")
@@ -420,3 +425,20 @@ def test_builder_consistency_smoke(tmp_path):
         b = svc.submit(1, n=2, seed=5).result(timeout=120)
     assert a.shape == (2, 8, 8, 1) and a.dtype == np.uint8
     np.testing.assert_array_equal(a, b)
+
+
+def test_native_and_python_paths_bit_identical():
+    """The C++ slot-queue path and the Python fallback produce bit-identical
+    images for the same (seed, n) requests — the per-slot x_T contract is
+    path-independent."""
+    from ldm_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    outs = []
+    for use_native in (True, False):
+        with make_service(xinit_sampler, batch_size=4,
+                          use_native=use_native) as svc:
+            assert (svc._slotq is not None) == use_native
+            outs.append(svc.submit(3, n=5, seed=42).result(timeout=30))
+    np.testing.assert_array_equal(outs[0], outs[1])
