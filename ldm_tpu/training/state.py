@@ -75,6 +75,71 @@ class TrainState(struct.PyTreeNode):
         return jax.random.fold_in(self.key, self.step)
 
 
+def fused_apply_gradients(
+    state: TrainState,
+    grads: Any,
+    lr: float,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+) -> TrainState:
+    """``apply_gradients`` with the whole Adam+EMA stream re-associated into
+    one explicit pass per parameter leaf.
+
+    The optax chain (scale_by_adam → scale(-lr) → apply_updates → EMA
+    tree.map) presents XLA with several separate loop nests over the
+    param/moment trees; this states the minimal-traffic program directly —
+    new_m, new_v, new_p, new_ema computed together from (p, g, m, v, ema),
+    i.e. read 5 / write 4 fp32 streams = 36 B/param (the train roofline's
+    bucket 1, docs/perf_round3.md §4).  Mathematically identical to
+    ``make_optimizer(lr)`` + ``apply_gradients`` (asserted over chained steps
+    in perf/probe37_fused_optimizer.py); ``lr``/``b1``/``b2``/``eps`` must
+    match the ``tx`` the state was created with — the optax ``opt_state``
+    (ScaleByAdamState) is updated in place so the two paths are
+    checkpoint-compatible and interchangeable step to step.
+    """
+    opt_state = state.opt_state
+    idx = next(
+        i for i, s in enumerate(opt_state)
+        if hasattr(s, "mu") and hasattr(s, "nu")
+    )
+    adam = opt_state[idx]
+    count_inc = optax.safe_increment(adam.count)
+    # optax tree_bias_correction: 1 - decay**count, in the leaf dtype (fp32)
+    c1 = 1.0 - jnp.asarray(b1, jnp.float32) ** count_inc
+    c2 = 1.0 - jnp.asarray(b2, jnp.float32) ** count_inc
+    d = jnp.minimum(state.ema_decay, (1.0 + state.step) / (10.0 + state.step))
+
+    flat_p, tree = jax.tree.flatten(state.params)
+    flat = zip(
+        flat_p,
+        jax.tree.leaves(grads),
+        jax.tree.leaves(adam.mu),
+        jax.tree.leaves(adam.nu),
+        jax.tree.leaves(state.ema_params),
+    )
+    new_m, new_v, new_p, new_e = [], [], [], []
+    for p, g, m, v, e in flat:
+        m2 = b1 * m + (1.0 - b1) * g
+        v2 = b2 * v + (1.0 - b2) * g * g
+        p2 = p - lr * ((m2 / c1) / (jnp.sqrt(v2 / c2) + eps))
+        new_m.append(m2)
+        new_v.append(v2)
+        new_p.append(p2)
+        new_e.append(d * e + (1.0 - d) * p2)
+
+    new_adam = adam._replace(
+        count=count_inc, mu=tree.unflatten(new_m), nu=tree.unflatten(new_v)
+    )
+    new_opt = tuple(opt_state[:idx]) + (new_adam,) + tuple(opt_state[idx + 1:])
+    return state.replace(
+        step=state.step + 1,
+        params=tree.unflatten(new_p),
+        opt_state=new_opt,
+        ema_params=tree.unflatten(new_e),
+    )
+
+
 @functools.lru_cache(maxsize=None)
 def make_optimizer(lr: float) -> optax.GradientTransformation:
     """Adam with the reference's hyperparameters (src/Trainer.py:68-71: torch Adam

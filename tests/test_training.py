@@ -321,3 +321,38 @@ def test_cadence_zero_means_never(tmp_path):
         Config(sample_every=-1)
     with pytest.raises(ValueError):
         Config(checkpoint_every=-2)
+
+
+def test_fused_apply_gradients_matches_optax():
+    """fused_apply_gradients (one re-associated Adam+EMA pass,
+    perf/probe37) must be step-for-step interchangeable with the optax
+    chain: identical params, EMA, moments, and count over chained steps,
+    including the step-0 bias-correction and EMA-warmup edge."""
+    from ldm_tpu.training.state import fused_apply_gradients
+
+    key = jax.random.key(0)
+    params = {
+        "w": jax.random.normal(key, (7, 5), jnp.float32),
+        "b": {"c": jnp.ones((5,), jnp.float32)},
+    }
+    lr = 3e-3
+    s_a = TrainState.create(params, make_optimizer(lr), jax.random.key(1))
+    s_b = s_a
+    for i in range(4):
+        g = jax.tree.map(
+            lambda p, i=i: jax.random.normal(
+                jax.random.fold_in(key, i), p.shape) * 0.1,
+            params,
+        )
+        s_a = s_a.apply_gradients(g)
+        s_b = fused_apply_gradients(s_b, g, lr)
+    assert int(s_b.step) == 4
+    for name, ta, tb in [
+        ("params", s_a.params, s_b.params),
+        ("ema", s_a.ema_params, s_b.ema_params),
+        ("opt", s_a.opt_state, s_b.opt_state),
+    ]:
+        for a, b in zip(jax.tree.leaves(ta), jax.tree.leaves(tb)):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                rtol=0, atol=1e-6, err_msg=name)
