@@ -118,7 +118,8 @@ def sampler_flops_per_img_step(model, diffusion, batch: int = 32) -> float:
 
 
 def bench_scan_sampler(model, diffusion, params, batch: int,
-                       flops_per_img_step: float | None = None):
+                       flops_per_img_step: float | None = None,
+                       shape=(32, 32, 3)):
     """Our design: whole T-step loop as one on-device lax.scan, batched CFG.
 
     Returns imgs/sec, or (imgs/sec, mfu) when ``flops_per_img_step`` is given
@@ -129,7 +130,7 @@ def bench_scan_sampler(model, diffusion, params, batch: int,
     @jax.jit
     def run(params, key):
         return diffusion.sample(
-            model.apply, params, key, classes, (32, 32, 3),
+            model.apply, params, key, classes, shape,
             cfg_scale=3.0, null_label=10,
         )
 
@@ -544,6 +545,15 @@ def main():
         model, GaussianDiffusion(n_steps=400), params, best_batch
     ) / n_chips
 
+    # The reference report's RESOLUTION axis (report.pdf §4, Figure 2:
+    # 64x64 + T=400).  The UNet is fully convolutional so the same params
+    # serve 64x64 inputs; batch 64 keeps the 4x-larger activations in the
+    # measured-good regime.  Quality evidence from a 64x64-trained
+    # checkpoint lives in perf/probe39.json.
+    t400_64_imgs = bench_scan_sampler(
+        model, GaussianDiffusion(n_steps=400), params, 64, shape=(64, 64, 3)
+    ) / n_chips
+
     # capability-plus: 50-step DDIM from the same weights (diffusion/ddpm.py
     # sample_ddim — rate is weight-independent, quality evidence in
     # perf/probe17_ddim.json from the trained protocol checkpoint).
@@ -766,6 +776,7 @@ def main():
         "flow_euler50_images_per_sec_per_chip": round(flow_euler50_imgs, 3),
         "flow_heun15_images_per_sec_per_chip": round(flow_heun15_imgs, 3),
         "t400_images_per_sec_per_chip": round(t400_imgs, 3),
+        "t400_64px_images_per_sec_per_chip": round(t400_64_imgs, 3),
         "batch": best_batch,
         # model FLOPs utilization of the sampler at the headline batch, from
         # XLA cost analysis vs the v5e bf16 peak (197 TFLOP/s)
