@@ -1,28 +1,17 @@
-"""probe39: the reference's RESOLUTION axis — 64x64 / T=400 on the chip.
+"""probe39b: resume the 64x64/T=400 axis from the trained checkpoint.
 
-The reference's report (report.pdf §4, Figure 2) compares three
-configurations: 32x32+T=400, 64x64+T=400, 32x32+T=1000.  Rounds 1-3 ran
-everything at 32x32 (T=400 and T=1000 — probe21/bench); this reproduces the
-missing 64x64/T=400 axis end to end on the TPU (VERDICT r3 item 2):
+The probe39 session died after the diffusion phase finished (17550 steps,
+1330.0 s, val 0.1245 — /tmp/probe39.log) but before the classifier/sampling
+phases.  The full best TrainState is on disk
+(runs/pixel/protocol_hard_64/checkpoints/best_state.msgpack), so this script
+re-runs only phases B (exp1 classifier at 64px) and C (sample 2048 with
+ancestral-T400 + DDIM-50, score pixel-FID + classifier-FID) and writes the
+same perf/probe39.json the original would have.
 
-  1. train the flagship UNet (configs/protocol_hard_64.yaml: identical to
-     protocol_hard.yaml except image_size 64, dataset 25k) on the hard
-     synthetic at 64x64;
-  2. train the exp1-style ResNet classifier on real 64x64 hard data (the
-     protocol's feature space for classifier-FID);
-  3. sample 2048 images with the protocol's two samplers (ancestral T=400,
-     DDIM-50) and score pixel-FID + classifier-FID against real 64x64 data.
-
-32x32 anchors for the cross-resolution comparison (same machinery,
-perf/probe21.json): ddpm400 classifier-FID 0.98 / pixel-FID 0.33,
-ddim50 1.34.  Note classifier-FIDs live in each resolution's own feature
-space — the comparison is "how far from its own real data each
-configuration lands", the report's framing, not a shared-space number.
-
-Usage: python perf/probe39_res64.py [epochs]
-Output: perf/probe39.json + checkpoints under runs/pixel/protocol_hard_64/
+Train-phase numbers below are transcribed from the completed phase-A run.
 """
 
+import dataclasses
 import json
 import os
 import sys
@@ -43,62 +32,49 @@ from ldm_tpu.data.transforms import scale_to_minus_one_one  # noqa: E402
 from ldm_tpu.factory import build_classifier, build_diffusion, build_model  # noqa: E402
 from ldm_tpu.ops.fid import fid_from_features, pixel_fid  # noqa: E402
 from ldm_tpu.training.diffusion_trainer import DiffusionTrainer  # noqa: E402
-from ldm_tpu.training.resnet_trainer import ResNetTrainer  # noqa: E402
 
 N_FID = 2048
-B = 64  # sampling batch: 64px activations are 4x the 32px protocol's
+B = 64
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "probe39.json")
+CKPT = "/root/repo/runs/pixel/protocol_hard_64/checkpoints/best_state.msgpack"
 
 config = load_config("/root/repo/configs/protocol_hard_64.yaml")
-if len(sys.argv) > 1:
-    config.epochs = int(sys.argv[1])
 
-# ------------------------------------------------------------ Phase A: train
 n_total = config.data.synthetic_size
 ds = synthetic_dataset_hard(n_total, 64, 3, seed=0)
 n_val = int(n_total * config.data.val_split)
 perm = np.random.default_rng(config.seed).permutation(n_total)
-train_ds = ds.subset(perm[n_val:])
-val_ds = ds.subset(perm[:n_val])
 
 model = build_model(config)
 diffusion = build_diffusion(config)
 trainer = DiffusionTrainer(
     config, model, diffusion,
-    DataLoader(train_ds, config.batch_size, seed=config.seed),
-    DataLoader(val_ds, config.batch_size, seed=config.seed + 1),
+    DataLoader(ds.subset(perm[n_val:]), config.batch_size, seed=config.seed),
+    DataLoader(ds.subset(perm[:n_val]), config.batch_size, seed=config.seed + 1),
     classes=list(range(10)),
 )
-print(f"training 64x64 UNet: {len(train_ds)} imgs, {config.epochs} epochs max",
+trainer.load_state(CKPT)
+print(f"restored best TrainState from {CKPT} (step {int(trainer.state.step)})",
       flush=True)
-t0 = time.perf_counter()
-hist = trainer.train()
-train_s = time.perf_counter() - t0
-steps = int(trainer.state.step)
-print(f"trained: {steps} steps in {train_s:.1f}s ({steps / train_s:.1f} "
-      f"steps/s), val {hist['val_loss'][-1]:.4f}", flush=True)
 
 # -------------------------------------------- exp1 classifier (64px features)
-import dataclasses  # noqa: E402
+# Trained to completion by the first probe39b attempt (8 epochs, best val-F1
+# checkpointed at runs/pixel/protocol_hard_64_classifier/); load the best
+# weights instead of retraining.
+from ldm_tpu.training import checkpoint as ckpt  # noqa: E402
 
 clf_cfg = dataclasses.replace(config, loss_fn="cross-entropy", epochs=8,
                               project_name=config.project_name + "_classifier")
-clf_ds = synthetic_dataset_hard(n_total, 64, 3, seed=1)
-clf_val = synthetic_dataset_hard(5000, 64, 3, seed=2, train=False)
 clf = build_classifier(clf_cfg, 3, 10)
-ctrainer = ResNetTrainer(
-    clf_cfg, clf,
-    DataLoader(clf_ds, clf_cfg.batch_size, seed=7),
-    DataLoader(clf_val, clf_cfg.batch_size, seed=8),
-    classes=list(range(10)), name="resnet64_exp1",
-)
-ctrainer.train()
-ctrainer.load_best()
+cv = jax.jit(lambda k, x: clf.init(k, x, train=False))(
+    jax.random.key(1), jnp.zeros((1, 64, 64, 3)))
+ctmpl = {"params": jax.tree.map(np.asarray, cv["params"]),
+         "batch_stats": jax.tree.map(np.asarray, cv.get("batch_stats", {}))}
+cvars = jax.device_put(ckpt.load_params(
+    "/root/repo/runs/pixel/protocol_hard_64_classifier/checkpoints/"
+    "resnet64_exp1.msgpack", ctmpl))
+print("loaded resnet64_exp1 classifier checkpoint", flush=True)
 feat_fn = jax.jit(lambda v, x: clf.apply(v, x, train=False, features=True))
-# state.params is the optimizer-facing {"params": ...} tree — unwrap one level
-# for flax apply (the probe39b crash: {"params": {"params": ...}} is invalid)
-cvars = {"params": ctrainer.state.params["params"],
-         "batch_stats": ctrainer.state.batch_stats}
 
 
 def features(images_u8):
@@ -119,10 +95,15 @@ f_real = features(real)
 out = {
     "device": str(jax.devices()[0]), "n": N_FID, "image_size": 64,
     "t": config.diffusion.n_steps,
-    "train": {"steps": steps, "seconds": round(train_s, 1),
-              "steps_per_sec": round(steps / train_s, 2),
-              "epochs_run": len(hist["val_loss"]),
-              "final_val_loss": round(hist["val_loss"][-1], 5)},
+    # phase A completed in the original probe39 session (/tmp/probe39.log):
+    "train": {"steps": 17550, "seconds": 1330.0, "steps_per_sec": 13.2,
+              "scan_steps_per_sec": 32.7, "epochs_run": 50,
+              "final_val_loss": 0.1245,
+              "note": "phase A from the original probe39 run; this file was "
+                      "produced by probe39b_res64_resume.py from its "
+                      "best_state.msgpack"},
+    "classifier": {"name": "resnet64_exp1", "epochs": 8,
+                   "best_valid_f1": 0.6863, "best_valid_loss": 0.7244},
     "anchors_32px_probe21": {"ddpm400_fid_classifier": 0.98,
                              "ddpm400_fid_pixel": 0.33,
                              "ddim50_fid_classifier": 1.34},
@@ -132,11 +113,16 @@ classes = np.arange(B, dtype=np.int32) % 10
 for name, method, steps_kw in [("ddpm400", "ddpm", {}),
                                ("ddim50", "ddim", {"ddim_steps": 50})]:
     imgs = []
+    # warm compile outside the timed loop
+    _ = np.asarray(trainer.sample(classes, cfg_scale=3.0,
+                                  key=jax.random.key(0), method=method,
+                                  **steps_kw))
     t0 = time.perf_counter()
     for i in range(N_FID // B):
         key = jax.random.fold_in(jax.random.key(777), i)
         imgs.append(trainer.sample(classes, cfg_scale=3.0, key=key,
                                    method=method, **steps_kw))
+    imgs = [np.asarray(x) for x in imgs]
     dt = time.perf_counter() - t0
     imgs = np.concatenate(imgs)
     row = {
