@@ -8,10 +8,18 @@ submit enqueues a request's slots in one GIL-released call, collect
 blocks + assembles the batch arrays in C++, scatter memcpys finished rows
 into request buffers) — serving/service.py uses it automatically.
 
-This probe measures the SAME loads as probe34 on both paths (native vs
+This probe measures the probe34 loads on both paths (native vs
 pure-Python fallback) for the A/B, plus the rectified-flow checkpoint
 served through the builder's Euler path (the flow family's serving
 evidence, VERDICT r3 item 1 tail).
+
+NOTE on the checkpoint: probe34's consistency-2 student
+(runs/pixel/protocol_hard/checkpoints/consistency_model.msgpack) was lost
+with the session-recycled working tree (msgpack blobs are not committed —
+only their logs/metrics are).  The flow checkpoint survives, so the A/B
+runs the SAME 2-model-eval device load through the flow family's Euler-2
+path: identical host-side slot/assembly/fulfil work per image, identical
+batch cadence class — the host-ceiling comparison probe34 defined.
 
 Output: perf/probe40.json
 Usage: python perf/probe40_serving_native.py
@@ -83,10 +91,13 @@ def main():
 
     specs = [
         # name, config, sampler, steps, use_native
-        ("consistency2_native", "configs/protocol_hard.yaml", "consistency",
+        # 2-eval load (the probe34 host-ceiling regime; see module note)
+        ("flow_euler2_native", "configs/protocol_flow_hard.yaml", "ddim",
          2, True),
-        ("consistency2_python", "configs/protocol_hard.yaml", "consistency",
+        ("flow_euler2_python", "configs/protocol_flow_hard.yaml", "ddim",
          2, False),
+        # the flow family's serving-quality row (Heun-equivalent eval budget
+        # is a quality choice; throughput here is model-bound either way)
         ("flow_euler25_native", "configs/protocol_flow_hard.yaml", "ddim",
          25, True),
     ]
