@@ -73,32 +73,41 @@ def flops_of(fn, *args):
 out = {"device": str(jax.devices()[0]), "n_params": int(n_params)}
 
 for batch in (64, 256):
-    images = jnp.zeros((batch, 32, 32, 3), jnp.float32)
-
+    # images must be loop-VARIANT inside the timing scans (derived from the
+    # per-iteration key) or XLA hoists the encoder out of the loop — the
+    # RNG-normal generation cost is negligible vs the model
     def loss_fn(p, key):
-        recon, mu, log_var = model.apply(p, images, key)
+        kx, kz = jax.random.split(key)
+        images = jax.random.normal(kx, (batch, 32, 32, 3), jnp.float32)
+        recon, mu, log_var = model.apply(p, images, kz)
         return elbo_mse(recon, images, mu, log_var)
 
-    # fwd: carry the loss so the scan can't DCE the model
+    # fwd: carry the loss so the scan can't DCE the model.  CRITICAL: fold a
+    # carried counter into the reparam key — with a loop-invariant key (the
+    # round-4 first run) the whole model is hoistable out of the scan and
+    # fwd_ms measures ~nothing (perf/probe38.json "caveat").
     def fwd_body(carry, _):
-        s, acc = carry
-        return (s, acc + loss_fn(s.params, s.step_key())), None
+        s, acc, i = carry
+        key = jax.random.fold_in(s.step_key(), i)
+        return (s, acc + loss_fn(s.params, key), i + 1), None
 
     # fwd+bwd: fold the grads into a scalar so they're consumed but the
     # optimizer stream never runs
     def fwdbwd_body(carry, _):
-        s, acc = carry
-        loss, grads = jax.value_and_grad(loss_fn)(s.params, s.step_key())
+        s, acc, i = carry
+        key = jax.random.fold_in(s.step_key(), i)
+        loss, grads = jax.value_and_grad(loss_fn)(s.params, key)
         gsum = sum(jnp.sum(g) for g in jax.tree.leaves(grads))
-        return (s, acc + loss + gsum.astype(jnp.float32)), None
+        return (s, acc + loss + gsum.astype(jnp.float32), i + 1), None
 
     def full_body(s, _):
         loss, grads = jax.value_and_grad(loss_fn)(s.params, s.step_key())
         return s.apply_gradients(grads), loss
 
     z = jnp.zeros((), jnp.float32)
-    ms_fwd = time_scan(fwd_body, (state, z)) * 1e3
-    ms_fwdbwd = time_scan(fwdbwd_body, (state, z)) * 1e3
+    i0 = jnp.zeros((), jnp.int32)
+    ms_fwd = time_scan(fwd_body, (state, z, i0)) * 1e3
+    ms_fwdbwd = time_scan(fwdbwd_body, (state, z, i0)) * 1e3
     ms_full = time_scan(full_body, state) * 1e3
 
     step_flops = flops_of(lambda s: full_body(s, None)[0], state)
