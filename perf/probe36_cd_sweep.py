@@ -54,10 +54,21 @@ B = 128
 OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "probe36.json")
 
 ARMS = {
+    # the probe33 recipe verbatim, rerun on THIS teacher instance — the
+    # control that separates recipe effects from the teacher/classifier
+    # retrain's FID-scale shift
+    "baseline12": dict(epochs=12, ema_decay=0.95, skip_steps=20, lr=None),
     "budget24": dict(epochs=24, ema_decay=0.95, skip_steps=20, lr=None),
     "ema99": dict(epochs=12, ema_decay=0.99, skip_steps=20, lr=None),
     "skip10": dict(epochs=12, ema_decay=0.95, skip_steps=10, lr=None),
     "lr2e4": dict(epochs=12, ema_decay=0.95, skip_steps=20, lr=2e-4),
+    # combined best-shot: the CM-paper pairing of a longer budget with a
+    # slower target EMA + a lower lr for late-distill stability — the arm
+    # to run first when the round budget only fits one
+    "best24": dict(epochs=24, ema_decay=0.99, skip_steps=20, lr=2e-4),
+    # best24 repeated with the same spec: a run-to-run variance bar for the
+    # whole distill+FID pipeline, and the saved student for serving probes
+    "best24b": dict(epochs=24, ema_decay=0.99, skip_steps=20, lr=2e-4),
 }
 chosen = sys.argv[1:] or list(ARMS)
 
@@ -105,6 +116,20 @@ def features(images_u8):
 classes = jnp.arange(B, dtype=jnp.int32) % 10
 
 
+def gen_ddim(params, steps):
+    fn = jax.jit(lambda p, k: diffusion.sample_ddim(
+        model.apply, p, k, classes, (32, 32, 3), n_sample_steps=steps,
+        cfg_scale=3.0, null_label=10))
+    np.asarray(fn(params, jax.random.key(0)))  # compile
+    imgs = []
+    t0 = time.perf_counter()
+    for i in range(N_FID // B):
+        x0 = np.asarray(fn(params, jax.random.key(100 + i)))
+        imgs.append(((np.clip(x0, -1, 1) + 1) * 127.5).astype(np.uint8))
+    dt = time.perf_counter() - t0
+    return np.concatenate(imgs), N_FID / dt
+
+
 def gen_consistency(params, n_steps_sample):
     ts = sampling_timesteps(diffusion.n_steps, n_steps_sample)
     fn = jax.jit(lambda p, k: sample_consistency(
@@ -137,6 +162,23 @@ out.setdefault("baseline_probe33", {
 
 train_ds = synthetic_dataset_hard(50000, 32, 3, seed=0)
 
+# Anchor: the CURRENT teacher's DDIM-50 quality.  The probe33 baseline
+# numbers come from the round-3 teacher instance (lost checkpoints); the
+# probe36_prep retrain follows the same recipe but is a different draw, so
+# every arm must be read against THIS teacher's anchor, not probe33's.
+if "teacher_ddim50" not in out:
+    print("--- teacher anchor: DDIM-50", flush=True)
+    imgs, rate = gen_ddim(jax.device_put(teacher), 50)
+    out["teacher_ddim50"] = {
+        "img_per_sec": round(rate, 1),
+        "fid_pixel": round(float(pixel_fid(real, imgs)), 4),
+        "fid_classifier": round(
+            float(fid_from_features(f_real, features(imgs))), 4),
+    }
+    print("teacher_ddim50", out["teacher_ddim50"], flush=True)
+    with open(OUT, "w") as f:
+        json.dump(out, f, indent=2)
+
 for arm in chosen:
     spec = ARMS[arm]
     print(f"--- arm {arm}: {spec}", flush=True)
@@ -161,6 +203,10 @@ for arm in chosen:
             "fid_classifier": round(
                 float(fid_from_features(f_real, features(imgs))), 4),
         }
+    ckpt.save_params(
+        f"/root/repo/runs/pixel/protocol_hard/checkpoints/consistency_{arm}.msgpack",
+        trainer.state.ema_params,
+    )
     out[arm] = row
     print(arm, row, flush=True)
     with open(OUT, "w") as f:
