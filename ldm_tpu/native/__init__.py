@@ -256,6 +256,26 @@ class SlotQueue:
         )
         return int(n), seeds, idxs, classes, req_ids, slot_is
 
+    def collect_more(self, into, offset: int, batch: int,
+                     first_wait_s: float, max_delay_s: float) -> int:
+        """Top up a partial batch in place: append up to ``batch - offset``
+        further slots into the arrays a previous ``collect`` returned,
+        starting at ``offset``.  Same C++ call as ``collect`` pointed at the
+        tail of the arrays — used by the serving batcher to fill pad slots
+        while its dispatch handoff is backpressured (waiting is free there:
+        the device pipeline is already full).  Returns how many were added."""
+        seeds, idxs, classes, req_ids, slot_is = into
+        assert 0 <= offset < batch <= len(seeds)
+        n = self._lib.ldm_slotq_collect(
+            self._h, batch - offset, float(first_wait_s), float(max_delay_s),
+            _ptr(seeds[offset:], ctypes.c_int32),
+            _ptr(idxs[offset:], ctypes.c_int32),
+            _ptr(classes[offset:], ctypes.c_int32),
+            _ptr(req_ids[offset:], ctypes.c_int64),
+            _ptr(slot_is[offset:], ctypes.c_int32),
+        )
+        return int(n)
+
     def scatter(self, images: np.ndarray, count: int, req_ids: np.ndarray,
                 slot_is: np.ndarray) -> list:
         """Copy finished rows images[:count] into their requests' buffers;

@@ -418,6 +418,17 @@ class GenerationService:
             count, seeds, idxs, classes, req_ids, slot_is = \
                 self._slotq.collect(b, 0.05, self.max_delay_s)
             if count:
+                # Backpressure top-up (probe42): while the fulfil handoff
+                # queue is full, the put() below would block anyway — the
+                # device pipeline is saturated, so dispatching a padded
+                # batch now starts no earlier than a full one.  Spend that
+                # blocked time filling the pad slots instead (probe40's
+                # slow-cadence loads shipped 19% pad without this).
+                while (0 < count < b and self._fulfil_q.full()
+                       and not self._stop.is_set()):
+                    count += self._slotq.collect_more(
+                        (seeds, idxs, classes, req_ids, slot_is), count, b,
+                        self.max_delay_s, self.max_delay_s)
                 with self._lock:
                     counter = self._batch_counter
                     self._batch_counter += 1
@@ -476,6 +487,15 @@ class GenerationService:
         while True:
             slots = self._collect()
             if slots:
+                # Backpressure top-up — same policy as the native path: a
+                # full handoff queue means the dispatch below blocks anyway,
+                # so keep filling pad slots while it drains.
+                while (len(slots) < self.batch_size and self._fulfil_q.full()
+                       and not self._stop.is_set()):
+                    try:
+                        slots.append(self._queue.get(timeout=self.max_delay_s))
+                    except queue.Empty:
+                        pass
                 try:
                     out = self._dispatch(slots)
                 except Exception as e:  # compile/dispatch error

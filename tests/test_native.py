@@ -244,3 +244,34 @@ def test_slotq_cancel_and_drain():
     assert sorted(q.drain()) == [2, 3]
     assert q.depth() == 0
     q.close()
+
+def test_slotq_collect_more_appends_at_offset():
+    """collect_more tops up a partial collect in place: new slots land at
+    [offset, offset+n), earlier entries untouched — the serving batcher's
+    backpressure fill (service.py _run_native)."""
+    if not native.available():
+        pytest.skip("native library unavailable")
+    q = native.SlotQueue(item_bytes=4, queue_limit=64)
+    q.submit(1, np.zeros((2, 2, 2, 1), np.uint8), seed=7,
+             class_ids=np.array([1, 2]))
+    n, *arrays = q.collect(6, 0.5, 0.0)
+    seeds, idxs, classes, req_ids, slot_is = arrays
+    assert n == 2
+    # nothing queued: collect_more times out empty, arrays untouched
+    assert q.collect_more(tuple(arrays), n, 6, 0.01, 0.0) == 0
+    q.submit(2, np.zeros((3, 2, 2, 1), np.uint8), seed=9,
+             class_ids=np.array([4, 5, 6]))
+    added = q.collect_more(tuple(arrays), n, 6, 0.5, 0.0)
+    assert added == 3 and q.depth() == 0
+    assert seeds.tolist() == [7, 7, 9, 9, 9, 0]
+    assert classes.tolist() == [1, 2, 4, 5, 6, 0]
+    assert req_ids.tolist() == [1, 1, 2, 2, 2, 0]
+    assert idxs.tolist() == [0, 1, 0, 1, 2, 0]
+    # capacity respected: only batch - offset slots fit
+    q.submit(3, np.zeros((4, 2, 2, 1), np.uint8), seed=3,
+             class_ids=np.array([7, 8, 9, 0]))
+    assert q.collect_more(tuple(arrays), 5, 6, 0.5, 0.0) == 1
+    assert req_ids.tolist() == [1, 1, 2, 2, 2, 3]
+    assert seeds.tolist() == [7, 7, 9, 9, 9, 3]
+    assert q.depth() == 3  # request 3's remaining slots stay queued
+    q.close()

@@ -442,3 +442,51 @@ def test_native_and_python_paths_bit_identical():
             assert (svc._slotq is not None) == use_native
             outs.append(svc.submit(3, n=5, seed=42).result(timeout=30))
     np.testing.assert_array_equal(outs[0], outs[1])
+
+@pytest.mark.parametrize("use_native", [True, False])
+def test_backpressure_top_up_fills_pad_slots(use_native):
+    """While the dispatch→fulfil handoff queue is full, the batcher keeps
+    filling a partial batch instead of shipping pad slots (the probe40
+    slow-cadence 19%-padding pathology).  Deterministic white-box setup:
+    the handoff queue is pre-filled so the batcher is provably inside the
+    top-up loop when the second request lands."""
+    if use_native:
+        from ldm_tpu import native
+        if not native.available():
+            pytest.skip("native library unavailable")
+    svc = make_service(batch_size=4, max_delay_s=0.01, use_native=use_native)
+    if use_native:
+        assert svc._slotq is not None
+    else:
+        svc._slotq = None  # force the Python fallback path
+    for _ in range(svc._fulfil_q.maxsize):  # saturate the handoff queue
+        svc._fulfil_q.put("sentinel")
+    batcher = threading.Thread(target=svc._run, daemon=True)
+    svc._worker = batcher  # satisfy submit()'s liveness check
+    svc.submit(1, n=2)
+    batcher.start()
+    time.sleep(0.2)  # initial collect window (10 ms) long expired
+    svc.submit(2, n=2)  # lands while the batcher is in the top-up loop
+    deadline = time.monotonic() + 5.0
+    depth = (svc._slotq.depth if svc._slotq is not None
+             else svc._queue.qsize)
+    while depth() > 0 and time.monotonic() < deadline:
+        time.sleep(0.005)
+    assert depth() == 0, "top-up never drained the queued slots"
+    # unblock the batcher's put(): drain sentinels, then take the real batch
+    assert svc._fulfil_q.get(timeout=5) == "sentinel"
+    assert svc._fulfil_q.get(timeout=5) == "sentinel"
+    assert svc._fulfil_q.get(timeout=5) == "sentinel"
+    item = svc._fulfil_q.get(timeout=5)
+    if use_native:
+        out, count, req_ids, slot_is = item
+        assert count == 4
+    else:
+        out, slots = item
+        assert len(slots) == 4
+    s = svc.stats()
+    assert s.batches == 1 and s.padded_slots == 0
+    svc._stop.set()
+    assert svc._fulfil_q.get(timeout=5) is None  # drain sentinel on exit
+    batcher.join(timeout=5)
+    assert not batcher.is_alive()
