@@ -125,7 +125,11 @@ def bench_scan_sampler(model, diffusion, params, batch: int,
     Returns imgs/sec, or (imgs/sec, mfu) when ``flops_per_img_step`` is given
     (see sampler_flops_per_img_step).
     """
-    classes = jnp.arange(batch, dtype=jnp.int32) % 10
+    # numpy, NOT jnp: a closed-over device array gets constant-embedded at
+    # lowering via a device->host pull — the exact path BENCH_r04's transient
+    # FAILED_PRECONDITION killed (VERDICT r4 weak #1b).  A numpy constant is
+    # embedded host-side with no device dependency in the compile path.
+    classes = np.arange(batch, dtype=np.int32) % 10
 
     @jax.jit
     def run(params, key):
@@ -155,8 +159,8 @@ def bench_reference_style(model, diffusion, params, batch: int,
     separate jitted UNet calls per step (cond, uncond), lerp and p_sample on
     device but loop + step indexing driven from host (src/DDPM.py:98-130).
     Timed over n_steps and extrapolated to T (per-step cost is constant)."""
-    classes = jnp.arange(batch, dtype=jnp.int32) % 10
-    null = jnp.full((batch,), 10, jnp.int32)
+    classes = np.arange(batch, dtype=np.int32) % 10  # host constant, see above
+    null = np.full((batch,), 10, np.int32)
     fwd = jax.jit(model.apply)
     p_sample = jax.jit(diffusion.p_sample)
 
@@ -199,8 +203,8 @@ def bench_train_step(model, diffusion, params, batch: int = 64):
     train_model = model.clone(attention_impl="auto_grads")
     flops_model = build_flops_twin(model)  # cost analysis can't see Pallas
     state = TrainState.create(params, make_optimizer(5e-4), jax.random.key(1))
-    images = jnp.zeros((batch, 32, 32, 3), jnp.float32)
-    labels = jnp.zeros((batch,), jnp.int32)
+    images = np.zeros((batch, 32, 32, 3), np.float32)  # host constants
+    labels = np.zeros((batch,), np.int32)
     n = 50
 
     def make_step(m):
@@ -278,8 +282,8 @@ def bench_classifier_train(batch: int = 64, n: int = 50):
 
     model = ResNetBase(img_channels=3, out_channels=10, n_blocks=(2, 2, 2, 2),
                        n_channels=(64, 128, 256, 512), dtype=jnp.bfloat16)
-    images = jnp.zeros((batch, 32, 32, 3), jnp.float32)
-    labels = jnp.zeros((batch,), jnp.int32)
+    images = np.zeros((batch, 32, 32, 3), np.float32)  # host constants
+    labels = np.zeros((batch,), np.int32)
     variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
         jax.random.key(0), images[:1]
     )
@@ -324,7 +328,7 @@ def bench_vae_train(batch: int = 64, n: int = 20):
     model = Autoencoder(in_channels=3, out_channels=3, channels=64,
                         channel_multipliers=(1, 2, 4, 8), n_resnet_blocks=2,
                         z_channels=8, dtype=jnp.bfloat16)
-    images = jnp.zeros((batch, 32, 32, 3), jnp.float32)
+    images = np.zeros((batch, 32, 32, 3), np.float32)  # host constant
     params = jax.jit(model.init)(jax.random.key(0), images[:1],
                                  jax.random.key(1))
     state = TrainState.create(params, make_optimizer(5e-4), jax.random.key(2))
@@ -376,7 +380,7 @@ def bench_latent_sampling(batch: int = 256):
     )
     vparams = jax.jit(vae.init)(jax.random.key(1), jnp.zeros((1, 32, 32, 3)),
                                 jax.random.key(2))
-    classes = jnp.arange(batch, dtype=jnp.int32) % 10
+    classes = np.arange(batch, dtype=np.int32) % 10  # host constant
     scale = 1.0  # calibrated 1/std for this VAE (latent_scaling_factor: auto)
 
     @jax.jit
@@ -510,173 +514,230 @@ def _host_cpu() -> str:
     return platform.processor() or platform.machine()
 
 
-def main():
-    n_chips = jax.device_count()
-    model, diffusion, params = build()
+def preflight(max_retries: int = 5, base_wait: float = 10.0) -> None:
+    """Device-health gate: a tiny jitted op + host readback, with retries.
+
+    BENCH_r04 died entirely on a transient TPU ``FAILED_PRECONDITION`` at its
+    first compile, and independent probes that session hung >300 s at backend
+    init — transient tunnel sickness is a real operating condition the bench
+    must outlive (VERDICT r4 weak #1a).  Exponential backoff: ~10/20/40/80 s
+    between attempts, ~2.5 min of patience total before giving up.
+    """
+    import sys
+
+    for attempt in range(max_retries):
+        try:
+            out = jax.jit(lambda a: jnp.sin(a).sum())(
+                np.arange(16, dtype=np.float32)
+            )
+            np.asarray(out)  # host readback barrier (block_until_ready does
+            return           # not sync over the axon tunnel, CLAUDE.md)
+        except Exception as e:
+            if attempt == max_retries - 1:
+                raise
+            wait = base_wait * (2 ** attempt)
+            print(
+                f"# preflight {attempt + 1}/{max_retries} failed "
+                f"({type(e).__name__}: {e}); retrying in {wait:.0f}s",
+                file=sys.stderr,
+            )
+            time.sleep(wait)
+
+
+def main(argv=None):
+    """Run the bench fleet and ALWAYS print exactly one JSON line.
+
+    Every section is individually try/except-guarded: one failed row costs one
+    null field plus an entry in ``errors`` — never the whole record (VERDICT
+    r4 weak #1c: one transient device error zeroed round 4's entire perf
+    evidence).  ``--quick`` runs a ~2-min smoke tier (headline sampler at the
+    known-best batch + B=64 train step, cached baselines only) so device
+    health and perf sanity can be captured cheaply mid-round.
+    """
+    import sys
+    import traceback
+
+    quick = "--quick" in (argv if argv is not None else sys.argv[1:])
+    errors: dict[str, str] = {}
+
+    def section(name, fn, default=None):
+        try:
+            return fn()
+        except Exception as e:
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            traceback.print_exc(file=sys.stderr)
+            # best-effort re-health-check so one wedged dispatch doesn't doom
+            # every later section; a still-sick device just fails them too
+            try:
+                preflight(max_retries=3)
+            except Exception:
+                pass
+            return default
+
+    out = {
+        "metric": "CIFAR-10 sampled images/sec/chip (1000-step DDPM, CFG)",
+        "value": None,
+        "unit": "images/sec/chip",
+        "vs_baseline": None,
+    }
 
     try:
-        flops_per_img_step = sampler_flops_per_img_step(model, diffusion)
-    except Exception:
-        flops_per_img_step = None
+        _main_body(out, errors, section, quick)
+    except Exception as e:  # catastrophic (build/baseline-io) — still emit
+        errors["fatal"] = f"{type(e).__name__}: {e}"[:300]
+        traceback.print_exc(file=sys.stderr)
+    if errors:
+        out["errors"] = errors
+    if quick:
+        out["quick"] = True
+    print(json.dumps(out))
+
+
+def _main_body(out, errors, section, quick):
+    import sys
+
+    n_chips = jax.device_count()
+    preflight()  # gate EVERYTHING expensive behind device health + retries
+    model, diffusion, params = build()
+
+    flops_per_img_step = section(
+        "flops_analysis", lambda: sampler_flops_per_img_step(model, diffusion)
+    )
+
+    # ---- headline: T=1000 CFG scan sampler, swept over batches (B=64 is the
+    # measured optimum since packed-Pallas adoption; quick mode runs only it)
     ours, mfus = {}, {}
-    for b in OUR_BATCHES:
-        out = bench_scan_sampler(model, diffusion, params, b,
-                                 flops_per_img_step=flops_per_img_step)
-        rate, mfu = out if isinstance(out, tuple) else (out, None)
+    for b in ((64,) if quick else OUR_BATCHES):
+        res = section(f"sampler_b{b}", lambda b=b: bench_scan_sampler(
+            model, diffusion, params, b, flops_per_img_step=flops_per_img_step))
+        if res is None:
+            continue
+        rate, mfu = res if isinstance(res, tuple) else (res, None)
         ours[b], mfus[b] = rate / n_chips, mfu
-    best_batch = max(ours, key=ours.get)
-    imgs_per_sec = ours[best_batch]
-    steps_per_sec, train_mfu = bench_train_step(model, diffusion, params)
-    # deployment-batch train point: B=256 amortizes the fp32 Adam+EMA stream
-    # that floors MFU at the reference's B=64 (docs/perf_round3.md §4)
-    steps_b256, train_mfu_b256 = bench_train_step(model, diffusion, params,
-                                                  batch=256)
+    best_batch = max(ours, key=ours.get) if ours else 64
+    imgs_per_sec = ours.get(best_batch)
 
-    # fleet: classifier / VAE / latent-diffusion (VERDICT r2 item 4)
-    clf_steps, clf_mfu = bench_classifier_train()
-    vae_steps, vae_mfu = bench_vae_train()
-    latent_imgs = bench_latent_sampling()
+    train = section("train_step", lambda: bench_train_step(
+        model, diffusion, params), default=(None, None))
+    steps_per_sec, train_mfu = train
 
-    # The reference's shipped configs use T=400 (config_files/*.yaml:11);
-    # BASELINE.md asks for both T values.  Throughput at the best batch:
-    from ldm_tpu.diffusion.ddpm import GaussianDiffusion
+    if not quick:
+        # deployment-batch train point: B=256 amortizes the fp32 Adam+EMA
+        # stream that floors MFU at the reference's B=64 (docs/perf_round3.md §4)
+        steps_b256, train_mfu_b256 = section(
+            "train_step_b256",
+            lambda: bench_train_step(model, diffusion, params, batch=256),
+            default=(None, None))
 
-    t400_imgs = bench_scan_sampler(
-        model, GaussianDiffusion(n_steps=400), params, best_batch
-    ) / n_chips
+        # fleet: classifier / VAE / latent-diffusion (VERDICT r2 item 4)
+        clf_steps, clf_mfu = section(
+            "classifier_train", bench_classifier_train, default=(None, None))
+        vae_steps, vae_mfu = section(
+            "vae_train", bench_vae_train, default=(None, None))
+        latent_imgs = section("latent_sampling", bench_latent_sampling)
 
-    # The reference report's RESOLUTION axis (report.pdf §4, Figure 2:
-    # 64x64 + T=400).  The UNet is fully convolutional so the same params
-    # serve 64x64 inputs; batch 64 keeps the 4x-larger activations in the
-    # measured-good regime.  Quality evidence from a 64x64-trained
-    # checkpoint lives in perf/probe39.json.
-    t400_64_imgs = bench_scan_sampler(
-        model, GaussianDiffusion(n_steps=400), params, 64, shape=(64, 64, 3)
-    ) / n_chips
+        # The reference's shipped configs use T=400 (config_files/*.yaml:11);
+        # BASELINE.md asks for both T values.  Throughput at the best batch:
+        from ldm_tpu.diffusion.ddpm import GaussianDiffusion
 
-    # capability-plus: 50-step DDIM from the same weights (diffusion/ddpm.py
-    # sample_ddim — rate is weight-independent, quality evidence in
-    # perf/probe17_ddim.json from the trained protocol checkpoint).
-    # A single 50-step run is only ~0.2 s — comparable to the axon tunnel's
-    # per-dispatch jitter — so scan 4 full sampling runs inside ONE dispatch
-    # (the same discipline every other bench here uses).
-    d400 = GaussianDiffusion(n_steps=400)
-    classes_ddim = jnp.arange(best_batch, dtype=jnp.int32) % 10
-    _ddim_reps = 4
+        t400_imgs = section("t400", lambda: bench_scan_sampler(
+            model, GaussianDiffusion(n_steps=400), params, best_batch
+        ) / n_chips)
 
-    @jax.jit
-    def _ddim_run(params, key):
-        def one(_, k):
-            x0 = d400.sample_ddim(model.apply, params, k, classes_ddim,
-                                  (32, 32, 3), n_sample_steps=50,
-                                  cfg_scale=3.0, null_label=10)
-            return None, x0
-        _, xs = jax.lax.scan(one, None, jax.random.split(key, _ddim_reps))
-        return xs
+        # The reference report's RESOLUTION axis (report.pdf §4, Figure 2:
+        # 64x64 + T=400).  The UNet is fully convolutional so the same params
+        # serve 64x64 inputs; batch 64 keeps the 4x-larger activations in the
+        # measured-good regime.  Quality evidence from a 64x64-trained
+        # checkpoint lives in perf/probe39.json.
+        t400_64_imgs = section("t400_64px", lambda: bench_scan_sampler(
+            model, GaussianDiffusion(n_steps=400), params, 64,
+            shape=(64, 64, 3)) / n_chips)
 
-    np.asarray(_ddim_run(params, jax.random.key(0)))
-    _times = []
-    for i in range(3):
-        _t0 = time.perf_counter()
-        np.asarray(_ddim_run(params, jax.random.key(i + 1)))
-        _times.append(time.perf_counter() - _t0)
-    ddim50_imgs = _ddim_reps * best_batch / min(_times) / n_chips
+        # capability-plus rows: DDIM-50 / DPM++(2M)-10 / consistency-2 /
+        # flow Euler-50 + Heun-15, all from the same weights at T=400.  Each
+        # run is short (~0.2 s — tunnel-jitter order), so scan several full
+        # sampling runs inside ONE dispatch (the standing discipline).
+        d400 = GaussianDiffusion(n_steps=400)
+        classes_ddim = np.arange(best_batch, dtype=np.int32) % 10  # host const
 
-    # capability-plus: DPM-Solver++(2M) at 10 steps (diffusion/ddpm.py
-    # sample_dpmpp) — the second-order multistep sampler holds DDIM-50-class
-    # classifier-FID at ~10 model evals (perf/probe30.json).  Same reps-in-one-
-    # dispatch discipline; more reps because each run is 5x shorter.
-    _dpmpp_reps = 16
+        def _bench_scanned(solver_one, reps):
+            @jax.jit
+            def _run(params, key):
+                _, xs = jax.lax.scan(lambda _, k: (None, solver_one(params, k)),
+                                     None, jax.random.split(key, reps))
+                return xs
 
-    @jax.jit
-    def _dpmpp_run(params, key):
-        def one(_, k):
-            x0 = d400.sample_dpmpp(model.apply, params, k, classes_ddim,
-                                   (32, 32, 3), n_sample_steps=10,
-                                   cfg_scale=3.0, null_label=10)
-            return None, x0
-        _, xs = jax.lax.scan(one, None, jax.random.split(key, _dpmpp_reps))
-        return xs
+            np.asarray(_run(params, jax.random.key(0)))
+            ts = []
+            for i in range(3):
+                t0 = time.perf_counter()
+                np.asarray(_run(params, jax.random.key(i + 1)))
+                ts.append(time.perf_counter() - t0)
+            return reps * best_batch / min(ts) / n_chips
 
-    np.asarray(_dpmpp_run(params, jax.random.key(0)))
-    _times = []
-    for i in range(3):
-        _t0 = time.perf_counter()
-        np.asarray(_dpmpp_run(params, jax.random.key(i + 1)))
-        _times.append(time.perf_counter() - _t0)
-    dpmpp10_imgs = _dpmpp_reps * best_batch / min(_times) / n_chips
+        ddim50_imgs = section("ddim50", lambda: _bench_scanned(
+            lambda p, k: d400.sample_ddim(
+                model.apply, p, k, classes_ddim, (32, 32, 3),
+                n_sample_steps=50, cfg_scale=3.0, null_label=10), reps=4))
 
-    # capability-plus: 2-step consistency sampling (diffusion/consistency.py)
-    # — a DISTILLED student's rate (weight-independent; quality evidence in
-    # perf/probe33.json from an actual distillation of the protocol
-    # checkpoint).  Two B-batch forwards per image, NO guidance pass — the
-    # per-image device cost is ~100x below DDIM-50+CFG, so many reps per
-    # dispatch to out-amortize the tunnel.
-    from ldm_tpu.diffusion.consistency import sample_consistency
-    from ldm_tpu.training.consistency_trainer import sampling_timesteps
+        # DPM-Solver++(2M) holds DDIM-50-class classifier-FID at ~10 model
+        # evals (perf/probe30.json); more reps because each run is 5x shorter.
+        dpmpp10_imgs = section("dpmpp10", lambda: _bench_scanned(
+            lambda p, k: d400.sample_dpmpp(
+                model.apply, p, k, classes_ddim, (32, 32, 3),
+                n_sample_steps=10, cfg_scale=3.0, null_label=10), reps=16))
 
-    _cm_reps = 64
-    _cm_ts = sampling_timesteps(400, 2)
-
-    @jax.jit
-    def _cm_run(params, key):
+        # 2-step consistency sampling (diffusion/consistency.py) — a DISTILLED
+        # student's rate (weight-independent; quality evidence perf/probe33/36).
         # Accumulate a scalar instead of stacking outputs: at 64 reps the
         # stacked float32 images are ~50 MB and the tunnel transfer would
-        # dominate the measurement (every iteration feeds the accumulator,
-        # so none can be dead-code-eliminated).
-        def one(acc, k):
-            x0 = sample_consistency(d400, model.apply, params, k,
-                                    classes_ddim, (32, 32, 3), ts=_cm_ts)
-            return acc + jnp.mean(jnp.abs(x0)), None
-        acc, _ = jax.lax.scan(one, jnp.zeros((), jnp.float32),
-                              jax.random.split(key, _cm_reps))
-        return acc
+        # dominate (the accumulator keeps every iteration live vs DCE).
+        def _bench_consistency():
+            from ldm_tpu.diffusion.consistency import sample_consistency
+            from ldm_tpu.training.consistency_trainer import sampling_timesteps
 
-    np.asarray(_cm_run(params, jax.random.key(0)))
-    _times = []
-    for i in range(3):
-        _t0 = time.perf_counter()
-        np.asarray(_cm_run(params, jax.random.key(i + 1)))
-        _times.append(time.perf_counter() - _t0)
-    consistency2_imgs = _cm_reps * best_batch / min(_times) / n_chips
+            reps = 64
+            ts_cm = sampling_timesteps(400, 2)
 
-    # capability-plus: the RECTIFIED-FLOW family's two ODE solvers
-    # (diffusion/flow.py) at their protocol settings — Euler-50 (the flow
-    # protocol's Phase C sampler) and Heun-15 (2 evals/step, the 2nd-order
-    # option).  Rates are weight-independent; quality evidence in
-    # perf/probe35.json from the trained protocol_flow_hard checkpoint.
-    # Same reps-in-one-dispatch discipline as the DDIM/DPM++ rows.
-    from ldm_tpu.diffusion.flow import RectifiedFlow
+            @jax.jit
+            def _run(params, key):
+                def one(acc, k):
+                    x0 = sample_consistency(d400, model.apply, params, k,
+                                            classes_ddim, (32, 32, 3), ts=ts_cm)
+                    return acc + jnp.mean(jnp.abs(x0)), None
+                acc, _ = jax.lax.scan(one, jnp.zeros((), jnp.float32),
+                                      jax.random.split(key, reps))
+                return acc
 
-    rflow = RectifiedFlow(n_steps=400)
+            np.asarray(_run(params, jax.random.key(0)))
+            ts = []
+            for i in range(3):
+                t0 = time.perf_counter()
+                np.asarray(_run(params, jax.random.key(i + 1)))
+                ts.append(time.perf_counter() - t0)
+            return reps * best_batch / min(ts) / n_chips
 
-    def _bench_flow(solver_fn, steps, reps):
-        @jax.jit
-        def _run(params, key):
-            def one(_, k):
-                x0 = solver_fn(model.apply, params, k, classes_ddim,
-                               (32, 32, 3), n_sample_steps=steps,
-                               cfg_scale=3.0, null_label=10)
-                return None, x0
-            _, xs = jax.lax.scan(one, None, jax.random.split(key, reps))
-            return xs
+        consistency2_imgs = section("consistency2", _bench_consistency)
 
-        np.asarray(_run(params, jax.random.key(0)))
-        ts = []
-        for i in range(3):
-            t0 = time.perf_counter()
-            np.asarray(_run(params, jax.random.key(i + 1)))
-            ts.append(time.perf_counter() - t0)
-        return reps * best_batch / min(ts) / n_chips
+        # RECTIFIED-FLOW solvers (diffusion/flow.py) at protocol settings —
+        # quality evidence perf/probe35.json; Heun dominates Euler at matched
+        # eval budgets and is the protocol default since round 5.
+        from ldm_tpu.diffusion.flow import RectifiedFlow
 
-    flow_euler50_imgs = _bench_flow(rflow.sample_euler, 50, 4)
-    flow_heun15_imgs = _bench_flow(rflow.sample_heun, 15, 8)
+        rflow = RectifiedFlow(n_steps=400)
+        flow_euler50_imgs = section("flow_euler50", lambda: _bench_scanned(
+            lambda p, k: rflow.sample_euler(
+                model.apply, p, k, classes_ddim, (32, 32, 3),
+                n_sample_steps=50, cfg_scale=3.0, null_label=10), reps=4))
+        flow_heun15_imgs = section("flow_heun15", lambda: _bench_scanned(
+            lambda p, k: rflow.sample_heun(
+                model.apply, p, k, classes_ddim, (32, 32, 3),
+                n_sample_steps=15, cfg_scale=3.0, null_label=10), reps=8))
 
     # ---- baselines: the style sweep and the torch-CPU measurement cache
     # independently (a failed torch import must not discard the expensive
-    # same-chip style sweep, and vice versa).
-    import sys
-
+    # same-chip style sweep, and vice versa).  Quick mode NEVER re-measures —
+    # it only reads the cache.
     baseline_info = {}
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
@@ -692,102 +753,113 @@ def main():
                               None)
             baseline_info.pop("reference_torch_cpu_vae_images_per_sec", None)
     changed = False
-    if "reference_style_images_per_sec_per_chip" not in baseline_info:
-        per_batch = {str(b): bench_reference_style(model, diffusion, params, b)
-                     / n_chips for b in REF_BATCHES}
-        baseline_info.update({
-            "reference_style_images_per_sec_per_chip": max(per_batch.values()),
-            "per_batch": per_batch,
-            "note": "reference algorithm structure (Python loop, 2 UNet calls/step,"
-                    " host sync/step) on the same chip with our JAX model, T=1000, "
-                    f"best over batches {list(REF_BATCHES)}",
-            "device": str(jax.devices()[0]),
-        })
-        changed = True
-    if baseline_info.get("reference_torch_cpu_images_per_sec") is None:
-        try:
-            baseline_info["reference_torch_cpu_images_per_sec"] = (
-                bench_reference_torch_cpu()
-            )
-            baseline_info["reference_torch_cpu_note"] = (
-                "the actual reference implementation (/root/reference PyTorch), "
-                "T=1000, batch 16, CPU (min of 3 repeats) — the only hardware "
-                "it can run on in this image"
-            )
-            baseline_info["host_cpu"] = _host_cpu()
-            changed = True
-        except Exception as e:  # reference not importable — keep benching
-            print(f"# reference torch CPU baseline unavailable: {e}",
-                  file=sys.stderr)
-    if baseline_info.get("reference_torch_cpu_classifier_steps_per_sec") is None:
-        try:
-            baseline_info["reference_torch_cpu_classifier_steps_per_sec"] = (
-                bench_reference_torch_cpu_classifier()
-            )
-            baseline_info["reference_torch_cpu_vae_images_per_sec"] = (
-                bench_reference_torch_cpu_vae()
-            )
-            baseline_info["host_cpu"] = _host_cpu()
-            changed = True
-        except Exception as e:
-            print(f"# reference torch CPU fleet baselines unavailable: {e}",
-                  file=sys.stderr)
+    if not quick:
+        if "reference_style_images_per_sec_per_chip" not in baseline_info:
+            def _style_sweep():
+                return {str(b): bench_reference_style(model, diffusion,
+                                                      params, b) / n_chips
+                        for b in REF_BATCHES}
+
+            per_batch = section("baseline_reference_style", _style_sweep)
+            if per_batch:
+                baseline_info.update({
+                    "reference_style_images_per_sec_per_chip":
+                        max(per_batch.values()),
+                    "per_batch": per_batch,
+                    "note": "reference algorithm structure (Python loop, 2 UNet"
+                            " calls/step, host sync/step) on the same chip with"
+                            " our JAX model, T=1000, best over batches "
+                            f"{list(REF_BATCHES)}",
+                    "device": str(jax.devices()[0]),
+                })
+                changed = True
+        if baseline_info.get("reference_torch_cpu_images_per_sec") is None:
+            val = section("baseline_torch_cpu_sampler",
+                          bench_reference_torch_cpu)
+            if val is not None:
+                baseline_info["reference_torch_cpu_images_per_sec"] = val
+                baseline_info["reference_torch_cpu_note"] = (
+                    "the actual reference implementation (/root/reference "
+                    "PyTorch), T=1000, batch 16, CPU (min of 3 repeats) — the "
+                    "only hardware it can run on in this image"
+                )
+                baseline_info["host_cpu"] = _host_cpu()
+                changed = True
+        if baseline_info.get(
+                "reference_torch_cpu_classifier_steps_per_sec") is None:
+            clf_base = section("baseline_torch_cpu_classifier",
+                               bench_reference_torch_cpu_classifier)
+            vae_base = section("baseline_torch_cpu_vae",
+                               bench_reference_torch_cpu_vae)
+            if clf_base is not None and vae_base is not None:
+                baseline_info[
+                    "reference_torch_cpu_classifier_steps_per_sec"] = clf_base
+                baseline_info["reference_torch_cpu_vae_images_per_sec"] = vae_base
+                baseline_info["host_cpu"] = _host_cpu()
+                changed = True
     if changed:
         with open(BASELINE_FILE, "w") as f:
             json.dump(baseline_info, f, indent=2)
-    ref_style = baseline_info["reference_style_images_per_sec_per_chip"]
+    ref_style = baseline_info.get("reference_style_images_per_sec_per_chip")
     torch_cpu = baseline_info.get("reference_torch_cpu_images_per_sec")
 
-    out = {
-        "metric": "CIFAR-10 sampled images/sec/chip (1000-step DDPM, CFG)",
-        "value": round(imgs_per_sec, 3),
-        "unit": "images/sec/chip",
+    def _r(x, nd=3):
+        return round(x, nd) if x is not None else None
+
+    out.update({
+        "value": _r(imgs_per_sec),
         # north-star comparison (BASELINE.json): vs the reference implementation
         # on the hardware it can run on here (CPU; no CUDA device exists)
-        "vs_baseline": round(imgs_per_sec / torch_cpu, 2) if torch_cpu else None,
+        "vs_baseline": (_r(imgs_per_sec / torch_cpu, 2)
+                        if imgs_per_sec and torch_cpu else None),
         # strictest ratio: same chip, same optimized model, reference loop design
-        "vs_reference_style_same_chip": round(imgs_per_sec / ref_style, 2),
-        "train_steps_per_sec": round(steps_per_sec, 3),
-        "train_mfu": round(train_mfu, 4) if train_mfu else None,
-        "train_steps_per_sec_b256": round(steps_b256, 3),
-        "train_mfu_b256": round(train_mfu_b256, 4) if train_mfu_b256 else None,
-        # the rest of the fleet (VERDICT r2 item 4): the classifier dominates
-        # protocol wall-clock; VAE + latent cover the other model families
-        "classifier_train_steps_per_sec": round(clf_steps, 3),
-        "classifier_train_mfu": round(clf_mfu, 4) if clf_mfu else None,
-        "classifier_vs_reference_cpu": (
-            round(clf_steps / baseline_info[
-                "reference_torch_cpu_classifier_steps_per_sec"], 2)
-            if baseline_info.get(
-                "reference_torch_cpu_classifier_steps_per_sec") else None
-        ),
-        "vae_train_steps_per_sec": round(vae_steps, 3),
-        "vae_train_mfu": round(vae_mfu, 4) if vae_mfu else None,
-        "vae_train_imgs_vs_reference_cpu": (
-            round(vae_steps * 64 / baseline_info[
-                "reference_torch_cpu_vae_images_per_sec"], 2)
-            if baseline_info.get(
-                "reference_torch_cpu_vae_images_per_sec") else None
-        ),
-        "latent_sampling_images_per_sec_per_chip": round(latent_imgs / n_chips, 3),
-        "ddim50_images_per_sec_per_chip": round(ddim50_imgs, 3),
-        "dpmpp10_images_per_sec_per_chip": round(dpmpp10_imgs, 3),
-        "consistency2_images_per_sec_per_chip": round(consistency2_imgs, 3),
-        "flow_euler50_images_per_sec_per_chip": round(flow_euler50_imgs, 3),
-        "flow_heun15_images_per_sec_per_chip": round(flow_heun15_imgs, 3),
-        "t400_images_per_sec_per_chip": round(t400_imgs, 3),
-        "t400_64px_images_per_sec_per_chip": round(t400_64_imgs, 3),
+        "vs_reference_style_same_chip": (
+            _r(imgs_per_sec / ref_style, 2)
+            if imgs_per_sec and ref_style else None),
+        "train_steps_per_sec": _r(steps_per_sec),
+        "train_mfu": _r(train_mfu, 4),
         "batch": best_batch,
         # model FLOPs utilization of the sampler at the headline batch, from
         # XLA cost analysis vs the v5e bf16 peak (197 TFLOP/s)
-        "mfu": round(mfus[best_batch], 4) if mfus.get(best_batch) else None,
-        "per_batch": {str(b): round(v, 3) for b, v in ours.items()},
-        "mfu_per_batch": {str(b): (round(m, 4) if m else None)
-                          for b, m in mfus.items()},
+        "mfu": _r(mfus.get(best_batch), 4),
+        "per_batch": {str(b): _r(v) for b, v in ours.items()},
+        "mfu_per_batch": {str(b): _r(m, 4) for b, m in mfus.items()},
         "n_chips": n_chips,
         "device": str(jax.devices()[0]),
-    }
-    print(json.dumps(out))
+    })
+    if not quick:
+        out.update({
+            "train_steps_per_sec_b256": _r(steps_b256),
+            "train_mfu_b256": _r(train_mfu_b256, 4),
+            # the rest of the fleet (VERDICT r2 item 4): the classifier
+            # dominates protocol wall-clock; VAE + latent cover the other
+            # model families
+            "classifier_train_steps_per_sec": _r(clf_steps),
+            "classifier_train_mfu": _r(clf_mfu, 4),
+            "classifier_vs_reference_cpu": (
+                _r(clf_steps / baseline_info[
+                    "reference_torch_cpu_classifier_steps_per_sec"], 2)
+                if clf_steps and baseline_info.get(
+                    "reference_torch_cpu_classifier_steps_per_sec") else None
+            ),
+            "vae_train_steps_per_sec": _r(vae_steps),
+            "vae_train_mfu": _r(vae_mfu, 4),
+            "vae_train_imgs_vs_reference_cpu": (
+                _r(vae_steps * 64 / baseline_info[
+                    "reference_torch_cpu_vae_images_per_sec"], 2)
+                if vae_steps and baseline_info.get(
+                    "reference_torch_cpu_vae_images_per_sec") else None
+            ),
+            "latent_sampling_images_per_sec_per_chip": (
+                _r(latent_imgs / n_chips) if latent_imgs else None),
+            "ddim50_images_per_sec_per_chip": _r(ddim50_imgs),
+            "dpmpp10_images_per_sec_per_chip": _r(dpmpp10_imgs),
+            "consistency2_images_per_sec_per_chip": _r(consistency2_imgs),
+            "flow_euler50_images_per_sec_per_chip": _r(flow_euler50_imgs),
+            "flow_heun15_images_per_sec_per_chip": _r(flow_heun15_imgs),
+            "t400_images_per_sec_per_chip": _r(t400_imgs),
+            "t400_64px_images_per_sec_per_chip": _r(t400_64_imgs),
+        })
 
 
 if __name__ == "__main__":
