@@ -88,6 +88,59 @@ def test_cited_run_artifacts_exist_and_are_tracked():
     assert not msg, msg
 
 
+# ---- bench-row claims gate (VERDICT r4 next-round item 2): round 4 cited
+# `flow_euler50/flow_heun15/t400_64px_images_per_sec_per_chip` as standing
+# bench rows while no committed artifact had ever contained a value for them
+# (BENCH_r04.json was rc:1/null).  A `*_per_chip` row name cited in the docs
+# must appear with a NON-NULL value in at least one committed bench artifact.
+
+_ROW = re.compile(r"\b([a-z0-9_]+_per_chip)\b")
+
+
+def _bench_artifacts(tracked):
+    """Committed files that can carry bench-row values."""
+    return [p for p in tracked
+            if re.fullmatch(r"BENCH_r\d+\.json", p)
+            or re.fullmatch(r"runs/bench[\w.\-]*\.json", p)
+            or re.fullmatch(r"perf/[\w.\-]*\.json", p)]
+
+
+def _rows_with_values(tracked):
+    """Row names that appear with a non-null numeric value in any committed
+    bench artifact (raw-text scan: BENCH_r*.json wrap the JSON line in a
+    `tail` string, so structured parsing can't reach it uniformly)."""
+    val = re.compile(r'\\?"([a-z0-9_]+_per_chip)\\?"\s*:\s*[0-9]')
+    found = set()
+    for p in _bench_artifacts(tracked):
+        fp = os.path.join(REPO, p)
+        if not os.path.exists(fp):
+            continue
+        with open(fp, errors="replace") as f:
+            found.update(val.findall(f.read()))
+    return found
+
+
+def test_cited_bench_rows_have_committed_values():
+    tracked = _tracked_files()
+    have = _rows_with_values(tracked)
+    dangling = []
+    for doc in DOCS + sorted(
+            f"docs/{n}" for n in os.listdir(os.path.join(REPO, "docs"))
+            if n.endswith(".md")):
+        p = os.path.join(REPO, doc)
+        if not os.path.exists(p):
+            continue
+        with open(p) as f:
+            for i, line in enumerate(f, 1):
+                for name in _ROW.findall(line):
+                    if name not in have:
+                        dangling.append(f"{doc}:{i} -> {name}")
+    assert not dangling, (
+        "bench rows cited in docs but NEVER valued in any committed bench "
+        "artifact (run bench.py and git add -f the output JSON):\n  "
+        + "\n  ".join(dangling))
+
+
 def test_known_lost_list_is_not_stale():
     """If a 'lost' artifact reappears and gets committed, drop it from the
     allowlist so it is enforced again."""
