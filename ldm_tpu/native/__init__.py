@@ -39,10 +39,19 @@ def _load():
     path = lib_path()
     if path is None:
         return None
+    # AttributeError too (ADVICE r4): a stale .so lacking the newer symbols
+    # (mtime-based rebuild fooled by clock skew / a copied tree) must degrade
+    # to the pure-Python path, not crash available()'s callers.
     try:
         lib = ctypes.CDLL(path)
-    except OSError:
+        _bind(lib)
+    except (OSError, AttributeError):
         return None
+    _lib = lib
+    return _lib
+
+
+def _bind(lib) -> None:
     i64, f32, i32, u8 = (
         ctypes.c_int64,
         ctypes.c_float,
@@ -89,8 +98,6 @@ def _load():
     lib.ldm_slotq_depth.restype = i64
     lib.ldm_slotq_destroy.argtypes = [ctypes.c_void_p]
     lib.ldm_slotq_destroy.restype = None
-    _lib = lib
-    return _lib
 
 
 def available() -> bool:
@@ -224,6 +231,7 @@ class SlotQueue:
         self._lib = lib
         self._item_bytes = int(item_bytes)
         self._h = lib.ldm_slotq_create(self._item_bytes, int(queue_limit))
+        self._scratch = None  # idle-tick collect buffers, see collect()
 
     def submit(self, req_id: int, dst: np.ndarray, seed: int,
                class_ids: np.ndarray) -> bool:
@@ -242,18 +250,26 @@ class SlotQueue:
         fill up to ``batch`` slots within ``max_delay_s``.  Returns
         (count, seeds, idxs, classes, req_ids, slot_is) with the arrays
         zero-padded past count (the compiled sampler's pad slots), or
-        count == 0 with untouched arrays on timeout."""
-        seeds = np.zeros(batch, np.int32)
-        idxs = np.zeros(batch, np.int32)
-        classes = np.zeros(batch, np.int32)
-        req_ids = np.zeros(batch, np.int64)
-        slot_is = np.zeros(batch, np.int32)
+        count == 0 with untouched arrays on timeout.
+
+        Timeout ticks reuse ONE preallocated scratch set (ADVICE r4: the
+        idle 50 ms loop was allocating five arrays per tick on the 1-core
+        host this path protects); the set is surrendered to the caller and
+        replaced only when a collect actually returns work — the zero-init
+        pad contract holds because timeout ticks never write the arrays."""
+        sc = self._scratch
+        if sc is None or len(sc[0]) != batch:
+            sc = (np.zeros(batch, np.int32), np.zeros(batch, np.int32),
+                  np.zeros(batch, np.int32), np.zeros(batch, np.int64),
+                  np.zeros(batch, np.int32))
+        seeds, idxs, classes, req_ids, slot_is = sc
         n = self._lib.ldm_slotq_collect(
             self._h, batch, float(first_wait_s), float(max_delay_s),
             _ptr(seeds, ctypes.c_int32), _ptr(idxs, ctypes.c_int32),
             _ptr(classes, ctypes.c_int32), _ptr(req_ids, ctypes.c_int64),
             _ptr(slot_is, ctypes.c_int32),
         )
+        self._scratch = None if n else sc
         return int(n), seeds, idxs, classes, req_ids, slot_is
 
     def collect_more(self, into, offset: int, batch: int,

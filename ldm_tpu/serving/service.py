@@ -303,6 +303,8 @@ class GenerationService:
                 req.future.set_exception(
                     RuntimeError("service queue is full, request rejected")
                 )
+            else:
+                self._fail_if_died(req, req_id)
             return req.future
         try:
             for i in range(n):
@@ -314,7 +316,31 @@ class GenerationService:
             req.future.set_exception(
                 RuntimeError("service queue is full, request rejected")
             )
+        else:
+            self._fail_if_died(req)
         return req.future
+
+    def _fail_if_died(self, req: "_Request", req_id: Optional[int] = None):
+        """Close the submit/_fail race (ADVICE r4): if a worker failure drained
+        the queues between submit()'s liveness check and the enqueue above,
+        this request was registered after the sweep and nobody will ever
+        resolve its future — fail it here instead of hanging the client."""
+        if not self._stop.is_set():
+            return
+        with self._lock:
+            if req_id is not None:
+                self._inflight.pop(req_id, None)
+        req.rejected = True
+        if req_id is not None and self._slotq is not None:
+            try:
+                self._slotq.cancel(req_id)
+            except Exception:
+                pass  # best-effort: the queue may already be destroyed
+        if not req.future.done():
+            exc = self._failure
+            req.future.set_exception(RuntimeError(
+                f"service died during submission: {exc!r}" if exc
+                else "service stopped during submission"))
 
     def stats(self) -> ServiceStats:
         with self._lock:

@@ -98,6 +98,13 @@ def fused_apply_gradients(
     (ScaleByAdamState) is updated in place so the two paths are
     checkpoint-compatible and interchangeable step to step.
     """
+    # Drift guard (ADVICE r4): when the state was built with make_optimizer
+    # (memoized — identity comparison is exact), non-default (b1, b2, eps)
+    # here would silently diverge from the tx the moments belong to.
+    if state.tx is make_optimizer(lr):
+        assert (b1, b2, eps) == (0.9, 0.999, 1e-8), (
+            f"state.tx is make_optimizer({lr}) (Adam 0.9/0.999/1e-8) but the "
+            f"fused pass was given ({b1}, {b2}, {eps})")
     opt_state = state.opt_state
     idx = next(
         i for i, s in enumerate(opt_state)

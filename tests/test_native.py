@@ -275,3 +275,44 @@ def test_slotq_collect_more_appends_at_offset():
     assert seeds.tolist() == [7, 7, 9, 9, 9, 3]
     assert q.depth() == 3  # request 3's remaining slots stay queued
     q.close()
+
+
+def test_slotq_timeout_ticks_reuse_scratch_arrays():
+    """ADVICE r4: the serving batcher's idle 50 ms collect() loop must not
+    allocate five fresh arrays per tick on the 1-core host.  Timeout ticks
+    reuse ONE retained scratch set; a successful collect surrenders it to
+    the caller (fresh set next time) with the zero-pad contract intact."""
+    if not native.available():
+        pytest.skip("native library unavailable")
+    q = native.SlotQueue(item_bytes=4, queue_limit=8)
+    n1, s1, *_ = q.collect(4, 0.01, 0.0)
+    n2, s2, *_ = q.collect(4, 0.01, 0.0)
+    assert n1 == 0 and n2 == 0
+    assert s2 is s1  # idle tick reused the retained scratch set
+    q.submit(1, np.zeros((2, 2, 2, 1), np.uint8), seed=5,
+             class_ids=np.array([1, 2]))
+    n3, seeds3, _, classes3, req3, _ = q.collect(4, 0.5, 0.0)
+    assert n3 == 2 and seeds3 is s1  # work rode out on the retained set
+    assert seeds3.tolist() == [5, 5, 0, 0]  # pads still zero (never written)
+    assert classes3[2:].tolist() == [0, 0]
+    n4, s4, *_ = q.collect(4, 0.01, 0.0)
+    assert n4 == 0 and s4 is not seeds3  # surrendered after success
+    n5, s5, *_ = q.collect(8, 0.01, 0.0)  # batch change reallocates
+    assert n5 == 0 and len(s5) == 8
+    q.close()
+
+
+def test_loader_degrades_when_symbol_binding_fails(monkeypatch):
+    """ADVICE r4: a stale .so lacking the newer ldm_slotq_* symbols must make
+    available() return False (pure-Python fallback), not raise out of
+    _load() and crash GenerationService/loader construction."""
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_lib_tried", False)
+    monkeypatch.setattr(
+        native, "_bind",
+        lambda lib: (_ for _ in ()).throw(
+            AttributeError("ldm_slotq_create: symbol not found")),
+    )
+    assert native._load() is None
+    assert native.available() is False
+    # monkeypatch teardown restores the pre-test _lib/_lib_tried cache

@@ -490,3 +490,38 @@ def test_backpressure_top_up_fills_pad_slots(use_native):
     assert svc._fulfil_q.get(timeout=5) is None  # drain sentinel on exit
     batcher.join(timeout=5)
     assert not batcher.is_alive()
+
+
+@pytest.mark.parametrize("use_native", [True, False])
+def test_submit_racing_worker_death_fails_future(use_native):
+    """ADVICE r4 race: a worker failure landing BETWEEN submit()'s liveness
+    check and its enqueue must fail the future, not hang the client.  The
+    failure sweep (_fail/_fail_native) only sees slots already in the queue,
+    so without submit()'s post-enqueue re-check this request would be
+    registered with both worker threads dead and nobody left to resolve it.
+    Injected deterministically: the enqueue primitive runs the sweep first."""
+    with make_service(use_native=use_native) as svc:
+        svc.submit(0, n=1).result(timeout=30)  # service is demonstrably live
+        boom = RuntimeError("boom")
+        if svc._slotq is not None:
+            real = svc._slotq.submit
+
+            def racy(req_id, dst, seed, ids):
+                svc._fail_native(boom, [])  # sweep runs BEFORE the slots land
+                return real(req_id, dst, seed, ids)
+
+            svc._slotq.submit = racy
+        else:
+            real_put = svc._queue.put_nowait
+            fired = []
+
+            def racy_put(item):
+                if not fired:
+                    fired.append(1)
+                    svc._fail(boom, [])  # sweep drains BEFORE this slot lands
+                real_put(item)
+
+            svc._queue.put_nowait = racy_put
+        fut = svc.submit(1, n=2)
+        with pytest.raises(RuntimeError, match="died during submission|boom"):
+            fut.result(timeout=5)  # pre-fix: hangs to timeout

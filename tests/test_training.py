@@ -356,3 +356,21 @@ def test_fused_apply_gradients_matches_optax():
             np.testing.assert_allclose(
                 np.asarray(a, np.float32), np.asarray(b, np.float32),
                 rtol=0, atol=1e-6, err_msg=name)
+
+
+def test_fused_apply_gradients_rejects_mismatched_hyperparams():
+    """ADVICE r4 drift guard: when the state's tx IS make_optimizer(lr)
+    (memoized — identity is exact), non-default Adam hyperparameters passed
+    to the fused pass would silently diverge from the moments' optimizer, so
+    the call must assert instead."""
+    from ldm_tpu.training.state import fused_apply_gradients
+
+    lr = 3e-3
+    params = {"w": jnp.ones((3,), jnp.float32)}
+    state = TrainState.create(params, make_optimizer(lr), jax.random.key(0))
+    grads = {"w": jnp.full((3,), 0.1, jnp.float32)}
+    with pytest.raises(AssertionError, match="fused pass was given"):
+        fused_apply_gradients(state, grads, lr, b1=0.95)
+    # matching defaults still work
+    out = fused_apply_gradients(state, grads, lr)
+    assert int(out.step) == 1
