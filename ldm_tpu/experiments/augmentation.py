@@ -127,6 +127,29 @@ def generate_synthetic_dataset(
     return ds
 
 
+def phase_c_sampler_default(dt, sampler: Optional[str],
+                            ddim_steps: Optional[int]):
+    """Resolve the Phase-C sampler/steps, per generative family.
+
+    Family-default (VERDICT r4 item 5): the FLOW family generates with
+    Heun-25 — a matched 50-eval budget where Heun dominates Euler on
+    classifier-FID at every tested budget (perf/probe35.json;
+    protocol-scale confirmation runs/protocol_r5_flow_heun.log) — the same
+    measurement-aligned defaulting the CD recipe got for the distill CLI.
+    Every other family keeps the reference's ancestral DDPM
+    (main.py:294-324).  Explicit arguments always win.
+    """
+    from ldm_tpu.diffusion.flow import RectifiedFlow
+
+    if sampler is None:
+        if isinstance(getattr(dt, "diffusion", None), RectifiedFlow):
+            sampler = "dpmpp"  # the flow trainer's Heun slot (flow.py:247)
+            ddim_steps = 25 if ddim_steps is None else ddim_steps
+        else:
+            sampler = "ddpm"
+    return sampler, 50 if ddim_steps is None else ddim_steps
+
+
 def negative_control_break(dt, cfg_scale: float, sampler: str,
                            ddim_steps: int) -> dict:
     """Sampling kwargs for the deliberately-BROKEN generation pass.
@@ -175,8 +198,8 @@ def run_augmentation_experiment(
     classifier_arch: Optional[dict] = None,
     logger: Optional[MetricsLogger] = None,
     strict_data: bool = False,
-    sampler: str = "ddpm",
-    ddim_steps: int = 50,
+    sampler: Optional[str] = None,
+    ddim_steps: Optional[int] = None,
     negative_control: bool = False,
     diffusion_checkpoint: Optional[str] = None,
     generator_config: Optional[str] = None,
@@ -286,6 +309,7 @@ def run_augmentation_experiment(
         dt.train()
 
     # ---- Phase C: synthetic dataset (main.py:294-324) -----------------------
+    sampler, ddim_steps = phase_c_sampler_default(dt, sampler, ddim_steps)
     if n_per_class is None:
         n_per_class = max(1, len(ds_diff) // num_classes)
     synth = generate_synthetic_dataset(

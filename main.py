@@ -29,10 +29,13 @@ def main() -> None:
     ap.add_argument("--save-png", action="store_true",
                     help="also write the synthetic set as an ImageFolder PNG tree")
     ap.add_argument("--classifier-epochs", type=int, default=None)
-    # capability-plus: few-step DDIM generation for Phase C (the reference
-    # protocol's default stays ancestral DDPM)
-    ap.add_argument("--sampler", choices=("ddpm", "ddim", "dpmpp"), default="ddpm")
-    ap.add_argument("--ddim-steps", type=int, default=50)
+    # capability-plus: few-step generation for Phase C.  Default None defers
+    # to the family default in run_augmentation_experiment: ancestral DDPM
+    # for eps-prediction families (the reference protocol), Heun-25 for
+    # rectified flow (measurement-aligned, perf/probe35.json).
+    ap.add_argument("--sampler", choices=("ddpm", "ddim", "dpmpp"),
+                    default=None)
+    ap.add_argument("--ddim-steps", type=int, default=None)
     ap.add_argument("--negative-control", action="store_true",
                     help="also generate a deliberately broken synthetic set "
                          "(5-step, cfg=0) and report its FID proxies plus an "

@@ -114,3 +114,26 @@ def test_augmentation_experiment_latent_generator(tmp_path):
     # few-step/unguided break — see augmentation.py
     assert result.fid_pixel_broken is not None
     assert result.fid_classifier_broken is not None
+
+
+def test_phase_c_sampler_family_defaults():
+    """The Phase-C sampler default is family-aware: rectified flow gets
+    Heun-25 (measurement-aligned, perf/probe35.json); every other family
+    keeps the reference's ancestral DDPM; explicit args always win."""
+    from ldm_tpu.diffusion.ddpm import GaussianDiffusion
+    from ldm_tpu.diffusion.flow import RectifiedFlow
+    from ldm_tpu.experiments.augmentation import phase_c_sampler_default
+
+    class _DT:
+        def __init__(self, diffusion):
+            self.diffusion = diffusion
+
+    flow_dt = _DT(RectifiedFlow(n_steps=4))
+    ddpm_dt = _DT(GaussianDiffusion(n_steps=4))
+    assert phase_c_sampler_default(flow_dt, None, None) == ("dpmpp", 25)
+    assert phase_c_sampler_default(ddpm_dt, None, None) == ("ddpm", 50)
+    # explicit choices pass through untouched
+    assert phase_c_sampler_default(flow_dt, "ddim", 10) == ("ddim", 10)
+    assert phase_c_sampler_default(ddpm_dt, "dpmpp", None) == ("dpmpp", 50)
+    # steps-only override keeps the family sampler
+    assert phase_c_sampler_default(flow_dt, None, 15) == ("dpmpp", 15)
