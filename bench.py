@@ -129,6 +129,9 @@ def bench_scan_sampler(model, diffusion, params, batch: int,
     # lowering via a device->host pull — the exact path BENCH_r04's transient
     # FAILED_PRECONDITION killed (VERDICT r4 weak #1b).  A numpy constant is
     # embedded host-side with no device dependency in the compile path.
+    # (The OTHER closed-over constants — diffusion.schedule.betas et al. —
+    # are host numpy by construction since round 5: schedule.py stores them
+    # as np.ndarray for exactly this reason.)
     classes = np.arange(batch, dtype=np.int32) % 10
 
     @jax.jit
@@ -785,15 +788,23 @@ def _main_body(out, errors, section, quick):
                 )
                 baseline_info["host_cpu"] = _host_cpu()
                 changed = True
+        # classifier and VAE baselines are measured AND cached independently
+        # (round-5 review: the old all-or-nothing save discarded a successful
+        # multi-minute measurement when its sibling failed)
         if baseline_info.get(
                 "reference_torch_cpu_classifier_steps_per_sec") is None:
             clf_base = section("baseline_torch_cpu_classifier",
                                bench_reference_torch_cpu_classifier)
-            vae_base = section("baseline_torch_cpu_vae",
-                               bench_reference_torch_cpu_vae)
-            if clf_base is not None and vae_base is not None:
+            if clf_base is not None:
                 baseline_info[
                     "reference_torch_cpu_classifier_steps_per_sec"] = clf_base
+                baseline_info["host_cpu"] = _host_cpu()
+                changed = True
+        if baseline_info.get(
+                "reference_torch_cpu_vae_images_per_sec") is None:
+            vae_base = section("baseline_torch_cpu_vae",
+                               bench_reference_torch_cpu_vae)
+            if vae_base is not None:
                 baseline_info["reference_torch_cpu_vae_images_per_sec"] = vae_base
                 baseline_info["host_cpu"] = _host_cpu()
                 changed = True

@@ -41,9 +41,11 @@ def gather(a: Array, t: Array) -> Array:
     """Per-sample schedule value broadcastable over NHWC images.
 
     Reference ``gather`` (src/DDPM.py:12-19) reshapes to (B,1,1,1) for NCHW; the same
-    shape broadcasts correctly for NHWC.
+    shape broadcasts correctly for NHWC.  ``jnp.asarray`` first: schedule constants
+    are HOST numpy arrays by design (schedule.py module docstring) and numpy
+    cannot be indexed by a tracer.
     """
-    return a[t].reshape(-1, 1, 1, 1)
+    return jnp.asarray(a)[t].reshape(-1, 1, 1, 1)
 
 
 @register("ldm_tpu.diffusion.ddpm.GaussianDiffusion")
@@ -365,7 +367,9 @@ class GaussianDiffusion:
             y_in = classes
 
         sub, c_x, c_d, c2 = self._dpmpp_coeffs(n_sample_steps, order)
-        ab = self.schedule.alpha_bars
+        # numpy -> jnp before the scan body: the host constants (schedule.py)
+        # cannot be indexed by the scan's traced t
+        ab = jnp.asarray(self.schedule.alpha_bars)
 
         def step(carry, inputs):
             xt, x0_prev = carry

@@ -141,12 +141,17 @@ def phase_c_sampler_default(dt, sampler: Optional[str],
     """
     from ldm_tpu.diffusion.flow import RectifiedFlow
 
-    if sampler is None:
-        if isinstance(getattr(dt, "diffusion", None), RectifiedFlow):
+    if isinstance(getattr(dt, "diffusion", None), RectifiedFlow):
+        if sampler is None:
             sampler = "dpmpp"  # the flow trainer's Heun slot (flow.py:247)
-            ddim_steps = 25 if ddim_steps is None else ddim_steps
-        else:
-            sampler = "ddpm"
+        if sampler == "dpmpp" and ddim_steps is None:
+            # the family default budget applies whether the Heun slot was
+            # defaulted or NAMED: Heun-25 = 50 model evals, the measured
+            # protocol setting — a bare --sampler dpmpp must not silently
+            # double the budget to Heun-50 (round-5 review)
+            ddim_steps = 25
+    elif sampler is None:
+        sampler = "ddpm"
     return sampler, 50 if ddim_steps is None else ddim_steps
 
 

@@ -250,13 +250,16 @@ class SlotQueue:
         fill up to ``batch`` slots within ``max_delay_s``.  Returns
         (count, seeds, idxs, classes, req_ids, slot_is) with the arrays
         zero-padded past count (the compiled sampler's pad slots), or
-        count == 0 with untouched arrays on timeout.
+        ``(0, None, None, None, None, None)`` on timeout.
 
         Timeout ticks reuse ONE preallocated scratch set (ADVICE r4: the
         idle 50 ms loop was allocating five arrays per tick on the 1-core
-        host this path protects); the set is surrendered to the caller and
-        replaced only when a collect actually returns work — the zero-init
-        pad contract holds because timeout ticks never write the arrays."""
+        host this path protects).  The retained set is NEVER exposed on a
+        timeout (round-5 review: handing it out would alias arrays a caller
+        might hold against the next successful collect's writes); only a
+        collect that found work surrenders the arrays to the caller, and a
+        fresh set is allocated for the next tick — the zero-init pad
+        contract holds because timeout ticks never write the arrays."""
         sc = self._scratch
         if sc is None or len(sc[0]) != batch:
             sc = (np.zeros(batch, np.int32), np.zeros(batch, np.int32),
@@ -269,7 +272,10 @@ class SlotQueue:
             _ptr(classes, ctypes.c_int32), _ptr(req_ids, ctypes.c_int64),
             _ptr(slot_is, ctypes.c_int32),
         )
-        self._scratch = None if n else sc
+        if not n:
+            self._scratch = sc
+            return 0, None, None, None, None, None
+        self._scratch = None
         return int(n), seeds, idxs, classes, req_ids, slot_is
 
     def collect_more(self, into, offset: int, batch: int,

@@ -38,10 +38,30 @@ import dataclasses
 import queue
 import threading
 import time
-from concurrent.futures import Future
+from concurrent.futures import Future, InvalidStateError
 from typing import Callable, Optional, Sequence, Tuple
 
 import numpy as np
+
+
+def _try_resolve(future: Future, exc: Optional[BaseException] = None,
+                 result=None) -> bool:
+    """First resolution wins; a racing second resolver is a no-op.
+
+    Futures are resolved from three threads (batcher failure sweep, fulfil
+    thread, and the submitting client via ``_fail_if_died``) — a bare
+    check-then-set races, and a loser's ``InvalidStateError`` inside the
+    failure sweep would abort it mid-way, orphaning every remaining future
+    (round-5 review).  Returns True iff THIS call resolved the future.
+    """
+    try:
+        if exc is not None:
+            future.set_exception(exc)
+        else:
+            future.set_result(result)
+        return True
+    except InvalidStateError:
+        return False
 
 # sample_fn: (batch_key, classes int32 (B,), x_init float32 (B,H,W,C)) ->
 # float images in [-1, 1], shape (B,H,W,C).  The service jit-wraps it together
@@ -209,13 +229,22 @@ class GenerationService:
         # batcher → fulfil-thread handoff; the bound caps device batches in
         # flight (dispatch blocks when the fulfil side is 3 batches behind)
         self._fulfil_q: "queue.Queue" = queue.Queue(maxsize=3)
-        self._lock = threading.Lock()
+        # RLock: the enqueue runs under the lock (drain-exit serialization)
+        # and a failure injected from inside it (tests monkeypatch the
+        # enqueue primitive) re-enters for the inflight sweep
+        self._lock = threading.RLock()
         self._latencies: collections.deque = collections.deque(maxlen=1024)
         self._stats = ServiceStats()
         self._t_start = time.monotonic()
         self._auto_seed = 0
         self._batch_counter = 0
         self._stop = threading.Event()
+        # _died = a worker hit an unrecoverable error (vs _stop, which a
+        # graceful stop() also sets); _drained = the batcher's exit decision
+        # has been taken (guarded by _lock, serialized against submit's
+        # enqueue) — after it, nobody will collect further slots.
+        self._died = threading.Event()
+        self._drained = False
         self._failure: Optional[BaseException] = None
         self._worker: Optional[threading.Thread] = None
         self._fulfiller: Optional[threading.Thread] = None
@@ -228,6 +257,8 @@ class GenerationService:
         if warmup:
             self._dispatch([])  # compile + one dummy batch before traffic
         self._stop.clear()
+        self._died.clear()
+        self._drained = False
         self._worker = threading.Thread(
             target=self._run, name="ldm-tpu-serving-batcher", daemon=True
         )
@@ -291,31 +322,35 @@ class GenerationService:
             self._stats.requests += 1
         req = _Request(ids, int(seed), self.out_shape)
         if self._slotq is not None:
+            # registration AND enqueue under _lock: serialized against the
+            # batcher's drain-exit decision (_run_native), so either the
+            # batcher sees these slots before deciding the queue is drained,
+            # or _drained is already set when _fail_if_died checks it.
             with self._lock:
                 req_id = self._next_req_id
                 self._next_req_id += 1
                 self._inflight[req_id] = req
-            # one GIL-released call enqueues all n slots, all-or-nothing
-            if not self._slotq.submit(req_id, req.images, req.seed, ids):
+                # one GIL-released call enqueues all n slots, all-or-nothing
+                ok = self._slotq.submit(req_id, req.images, req.seed, ids)
+            if not ok:
                 with self._lock:
                     del self._inflight[req_id]
                     self._stats.rejected += 1
-                req.future.set_exception(
-                    RuntimeError("service queue is full, request rejected")
-                )
+                _try_resolve(req.future, RuntimeError(
+                    "service queue is full, request rejected"))
             else:
                 self._fail_if_died(req, req_id)
             return req.future
         try:
-            for i in range(n):
-                self._queue.put_nowait((req, i))
+            with self._lock:  # same enqueue/drain-exit serialization
+                for i in range(n):
+                    self._queue.put_nowait((req, i))
         except queue.Full:
             req.rejected = True  # already-enqueued slots must not set_result
             with self._lock:
                 self._stats.rejected += 1
-            req.future.set_exception(
-                RuntimeError("service queue is full, request rejected")
-            )
+            _try_resolve(req.future, RuntimeError(
+                "service queue is full, request rejected"))
         else:
             self._fail_if_died(req)
         return req.future
@@ -324,23 +359,36 @@ class GenerationService:
         """Close the submit/_fail race (ADVICE r4): if a worker failure drained
         the queues between submit()'s liveness check and the enqueue above,
         this request was registered after the sweep and nobody will ever
-        resolve its future — fail it here instead of hanging the client."""
+        resolve its future — fail it here instead of hanging the client.
+
+        A GRACEFUL stop() racing the enqueue is different (round-5 review):
+        the batcher's drain loop keeps collecting until the queue is empty,
+        so a request it will still see must NOT be spuriously failed.  The
+        enqueue above is lock-serialized against the drain-exit decision, so
+        ``_drained`` tells the two cases apart exactly: not drained → the
+        batcher will fulfil it; drained → the slots landed after the exit and
+        are orphaned."""
         if not self._stop.is_set():
             return
+        if not self._died.is_set():
+            with self._lock:
+                if not self._drained:
+                    return  # graceful stop, batcher still draining
         with self._lock:
-            if req_id is not None:
-                self._inflight.pop(req_id, None)
+            if req_id is not None and self._inflight.pop(req_id, None) is None:
+                return  # the pipeline already fulfilled (or swept) it
+        if req_id is None and req.future.done():
+            return  # python path: already fulfilled (or swept)
         req.rejected = True
         if req_id is not None and self._slotq is not None:
             try:
                 self._slotq.cancel(req_id)
             except Exception:
                 pass  # best-effort: the queue may already be destroyed
-        if not req.future.done():
-            exc = self._failure
-            req.future.set_exception(RuntimeError(
-                f"service died during submission: {exc!r}" if exc
-                else "service stopped during submission"))
+        exc = self._failure
+        _try_resolve(req.future, RuntimeError(
+            f"service died during submission: {exc!r}" if exc
+            else "service stopped during submission"))
 
     def stats(self) -> ServiceStats:
         with self._lock:
@@ -388,7 +436,7 @@ class GenerationService:
             for req in done:
                 self._latencies.append(now - req.t_submit)
         for req in done:
-            req.future.set_result(req.images)
+            _try_resolve(req.future, result=req.images)
 
     def _collect(self) -> list:
         """Block for the first slot, then fill the batch until the deadline."""
@@ -416,8 +464,11 @@ class GenerationService:
         """A worker thread hit an unrecoverable error: fail every affected
         future (the batch being processed + everything still queued) instead
         of letting clients block forever on futures nobody will resolve."""
-        self._stop.set()
+        # order matters: _failure/_died BEFORE _stop, so any thread that
+        # observes _stop set also sees this was a death, not a clean stop()
         self._failure = exc
+        self._died.set()
+        self._stop.set()
         failed = {}
         for req, _ in slots:
             failed[id(req)] = req
@@ -429,9 +480,8 @@ class GenerationService:
             failed[id(req)] = req
         for req in failed.values():
             req.rejected = True  # a racing _fulfil must not set_result
-            if not req.future.done():
-                req.future.set_exception(
-                    RuntimeError(f"serving worker failed: {exc!r}"))
+            _try_resolve(req.future,
+                         RuntimeError(f"serving worker failed: {exc!r}"))
 
     # ----------------------------------------------- native (C++ slot queue)
     def _run_native(self):
@@ -468,9 +518,20 @@ class GenerationService:
                     self._fulfil_q.put(None)
                     return
                 self._fulfil_q.put((out, count, req_ids, slot_is))
-            elif self._stop.is_set() and self._slotq.depth() == 0:
-                self._fulfil_q.put(None)  # sentinel: drain and exit
-                return
+            elif self._stop.is_set():
+                # exit decision under _lock (serialized against submit's
+                # enqueue): either a racing submit's slots are visible here
+                # (keep draining) or _drained is set before that submit's
+                # _fail_if_died check runs.  Sentinel put OUTSIDE the lock:
+                # a full _fulfil_q would deadlock against the fulfil
+                # thread's need for _lock.
+                with self._lock:
+                    drained = self._slotq.depth() == 0
+                    if drained:
+                        self._drained = True
+                if drained:
+                    self._fulfil_q.put(None)  # sentinel: drain and exit
+                    return
 
     def _fulfil_native(self, device_images, count, req_ids, slot_is):
         # device→host transfer (GIL released), then one C++ scatter call
@@ -486,20 +547,21 @@ class GenerationService:
                 self._latencies.append(now - req.t_submit)
         for req in reqs:
             if not req.rejected:
-                req.future.set_result(req.images)
+                _try_resolve(req.future, result=req.images)
 
     def _fail_native(self, exc: BaseException, batch_req_ids):
-        self._stop.set()
+        # same ordering rationale as _fail: death flags before _stop
         self._failure = exc
+        self._died.set()
+        self._stop.set()
         ids = {int(r) for r in batch_req_ids}
         ids.update(self._slotq.drain())  # queued + in-flight registry
         with self._lock:
             reqs = [self._inflight.pop(r) for r in ids if r in self._inflight]
         for req in reqs:
             req.rejected = True
-            if not req.future.done():
-                req.future.set_exception(
-                    RuntimeError(f"serving worker failed: {exc!r}"))
+            _try_resolve(req.future,
+                         RuntimeError(f"serving worker failed: {exc!r}"))
 
     def _run(self):
         # Batcher thread: collect + dispatch only.  Finished batches go to
@@ -529,9 +591,15 @@ class GenerationService:
                     self._fulfil_q.put(None)
                     return
                 self._fulfil_q.put((out, slots))
-            elif self._stop.is_set() and self._queue.empty():
-                self._fulfil_q.put(None)  # sentinel: drain and exit
-                return
+            elif self._stop.is_set():
+                # same lock-serialized exit decision as _run_native
+                with self._lock:
+                    drained = self._queue.empty()
+                    if drained:
+                        self._drained = True
+                if drained:
+                    self._fulfil_q.put(None)  # sentinel: drain and exit
+                    return
 
     def _run_fulfil(self):
         native = self._slotq is not None

@@ -99,12 +99,14 @@ def fused_apply_gradients(
     checkpoint-compatible and interchangeable step to step.
     """
     # Drift guard (ADVICE r4): when the state was built with make_optimizer
-    # (memoized — identity comparison is exact), non-default (b1, b2, eps)
-    # here would silently diverge from the tx the moments belong to.
-    if state.tx is make_optimizer(lr):
-        assert (b1, b2, eps) == (0.9, 0.999, 1e-8), (
-            f"state.tx is make_optimizer({lr}) (Adam 0.9/0.999/1e-8) but the "
-            f"fused pass was given ({b1}, {b2}, {eps})")
+    # (every product is registered with its hyperparameters), ANY mismatch —
+    # including a wrong lr, the most likely drift — would silently step the
+    # params with hyperparameters the opt_state's moments don't belong to.
+    known = _TX_HPARAMS.get(id(state.tx))
+    if known is not None:
+        assert known == (float(lr), b1, b2, eps), (
+            f"state.tx is make_optimizer{known} but the fused pass was "
+            f"given ({lr}, {b1}, {b2}, {eps})")
     opt_state = state.opt_state
     idx = next(
         i for i, s in enumerate(opt_state)
@@ -157,4 +159,13 @@ def make_optimizer(lr: float) -> optax.GradientTransformation:
     objects would make every jitted program keyed on the state recompile.
     Trainer ``reset()`` (the five-mix protocol reuse path) depends on the same
     lr yielding the identical object."""
-    return optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+    tx = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+    # identity-keyed hparam record for fused_apply_gradients' drift guard;
+    # entries live exactly as long as the lru_cache keeps tx alive
+    _TX_HPARAMS[id(tx)] = (float(lr), 0.9, 0.999, 1e-8)
+    return tx
+
+
+# id(tx) -> (lr, b1, b2, eps) for every make_optimizer product (the lru_cache
+# pins the objects, so ids are never recycled while registered)
+_TX_HPARAMS: dict = {}

@@ -137,3 +137,8 @@ def test_phase_c_sampler_family_defaults():
     assert phase_c_sampler_default(ddpm_dt, "dpmpp", None) == ("dpmpp", 50)
     # steps-only override keeps the family sampler
     assert phase_c_sampler_default(flow_dt, None, 15) == ("dpmpp", 15)
+    # NAMING the flow family's own default sampler keeps the family's
+    # measured budget (Heun-25 = 50 evals), not the generic 50 steps
+    assert phase_c_sampler_default(flow_dt, "dpmpp", None) == ("dpmpp", 25)
+    # flow + explicit Euler without steps = the Euler-50 protocol arm
+    assert phase_c_sampler_default(flow_dt, "ddim", None) == ("ddim", 50)

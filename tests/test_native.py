@@ -286,19 +286,24 @@ def test_slotq_timeout_ticks_reuse_scratch_arrays():
         pytest.skip("native library unavailable")
     q = native.SlotQueue(item_bytes=4, queue_limit=8)
     n1, s1, *_ = q.collect(4, 0.01, 0.0)
+    assert n1 == 0 and s1 is None  # timeout exposes NO arrays (r5 review:
+    # returning the retained set would alias it against the next success)
+    sc1 = q._scratch
+    assert sc1 is not None
     n2, s2, *_ = q.collect(4, 0.01, 0.0)
-    assert n1 == 0 and n2 == 0
-    assert s2 is s1  # idle tick reused the retained scratch set
+    assert n2 == 0 and s2 is None
+    assert q._scratch is sc1  # idle tick reused the retained scratch set
     q.submit(1, np.zeros((2, 2, 2, 1), np.uint8), seed=5,
              class_ids=np.array([1, 2]))
     n3, seeds3, _, classes3, req3, _ = q.collect(4, 0.5, 0.0)
-    assert n3 == 2 and seeds3 is s1  # work rode out on the retained set
+    assert n3 == 2 and seeds3 is sc1[0]  # work rode out on the retained set
     assert seeds3.tolist() == [5, 5, 0, 0]  # pads still zero (never written)
     assert classes3[2:].tolist() == [0, 0]
     n4, s4, *_ = q.collect(4, 0.01, 0.0)
-    assert n4 == 0 and s4 is not seeds3  # surrendered after success
+    assert n4 == 0 and s4 is None
+    assert q._scratch[0] is not seeds3  # fresh set after the surrender
     n5, s5, *_ = q.collect(8, 0.01, 0.0)  # batch change reallocates
-    assert n5 == 0 and len(s5) == 8
+    assert n5 == 0 and s5 is None and len(q._scratch[0]) == 8
     q.close()
 
 

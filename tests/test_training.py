@@ -371,6 +371,12 @@ def test_fused_apply_gradients_rejects_mismatched_hyperparams():
     grads = {"w": jnp.full((3,), 0.1, jnp.float32)}
     with pytest.raises(AssertionError, match="fused pass was given"):
         fused_apply_gradients(state, grads, lr, b1=0.95)
+    # a WRONG lr must fire too (the most likely drift — round-5 review:
+    # the original guard only checked b1/b2/eps when the lr already matched)
+    with pytest.raises(AssertionError, match="fused pass was given"):
+        fused_apply_gradients(state, grads, 5e-4)
+    with pytest.raises(AssertionError, match="fused pass was given"):
+        fused_apply_gradients(state, grads, 5e-4, b1=0.95)
     # matching defaults still work
     out = fused_apply_gradients(state, grads, lr)
     assert int(out.step) == 1
