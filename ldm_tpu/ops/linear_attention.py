@@ -692,7 +692,13 @@ def _fused_kernel_bwd(
 # bf16 input.
 _BLOCK_ITEMS_BY_KIND = {
     "TPU v5 lite": {(1024, 64): 4, (256, 128): 16, (64, 256): 32,
-                    (16, 512): 32, (256, 64): 16},
+                    (16, 512): 32, (256, 64): 16,
+                    # 64x64 resolution axis (perf/probe44.json, 2B=128):
+                    # fwd 1.12-1.73x and fwd+bwd 1.17-2.56x over XLA per
+                    # block; G*N caps at 4096 rows — one step up VMEM-fails
+                    # at every shape (same wall probe7b hit at C=64).
+                    (4096, 64): 1, (1024, 128): 4, (256, 256): 16,
+                    (64, 512): 32},
 }
 # Back-compat alias used by perf probes / tests: the v5e table.
 _BLOCK_ITEMS = _BLOCK_ITEMS_BY_KIND["TPU v5 lite"]

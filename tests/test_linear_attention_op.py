@@ -130,12 +130,18 @@ def test_prefer_pallas_device_kind_guard(monkeypatch):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("n,c,b", [(1024, 64, 4), (256, 128, 16)])
+@pytest.mark.parametrize("n,c,b", [(1024, 64, 4), (256, 128, 16),
+                                   # 64px-axis geometries (perf/probe44):
+                                   # the big packed site and the deepest
+                                   # unpacked one, at tiny batch so the
+                                   # interpret run stays cheap
+                                   (4096, 64, 1), (64, 512, 2)])
 def test_pallas_flagship_shapes_exact_interpret(n, c, b):
     """Per-op exactness at the shapes the auto path actually dispatches on TPU
-    (N=1024/C=64 packed, N=256/C=128 unpacked) at their tabled G, in interpret
-    mode at tight tolerance — the whole-UNet wiring test runs at 2e-2 and
-    would miss a sub-2e-2 kernel regression at these shapes (ADVICE round 2)."""
+    (N=1024/C=64 packed, N=256/C=128 unpacked, plus the 64px-axis geometries
+    tabled in round 5) at their tabled G, in interpret mode at tight tolerance
+    — the whole-UNet wiring test runs at 2e-2 and would miss a sub-2e-2 kernel
+    regression at these shapes (ADVICE round 2)."""
     from ldm_tpu.ops.linear_attention import _BLOCK_ITEMS
 
     g = _BLOCK_ITEMS[(n, c)]
